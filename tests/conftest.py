@@ -1,0 +1,18 @@
+"""Test harness config: force CPU JAX with 8 virtual devices so multi-chip sharding
+paths (Mesh/pjit/shard_map) are exercised without TPU hardware (SURVEY.md §4).
+
+Note: this environment's sitecustomize registers an `axon` TPU backend in every
+process and JAX_PLATFORMS=axon is pinned in the env, so the env-var route is not
+enough — we must override via jax.config after import."""
+import os
+import sys
+
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
