@@ -1,0 +1,74 @@
+"""Dissection CLI — the TPU-native `describe_broad_neurons.py` / `describe_og_neurons.py`
+/ `describe_clip_neurons.py` (reference flag surface at `describe_broad_neurons.py:15-49`).
+
+Example (synthetic smoke run):
+  python -m mammodissect.cli.dissect --target_model tiny_cnn --d_probe synthetic \
+    --target_layers blocks.0,blocks.3 --concept_set concepts.txt \
+    --clip_model random --result_dir /tmp/results --activation_dir /tmp/acts
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+from mammodissect.dissect.engine import DissectConfig, run_dissection
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="Mammo-CLIP Dissect (TPU)")
+    p.add_argument("--clip_model", type=str, default="random",
+                   help="dissector: breastclip | ViT-B/16 etc. | random")
+    p.add_argument("--target_model", type=str, default="tiny_cnn")
+    p.add_argument("--target_layers", type=str, default="blocks.0",
+                   help="comma-separated; reference spellings like "
+                        "'image_encoder._blocks[17]' are accepted")
+    p.add_argument("--d_probe", type=str, default="synthetic")
+    p.add_argument("--concept_set", type=str, required=True)
+    p.add_argument("--batch_size", type=int, default=200)
+    p.add_argument("--pool_mode", type=str, default="avg", choices=["avg", "max"])
+    p.add_argument("--similarity_fn", type=str, default="soft_wpmi",
+                   choices=["soft_wpmi", "wpmi", "rank_reorder", "cos_similarity",
+                            "cos_similarity_cubed"])
+    p.add_argument("--top_k", type=int, default=100)
+    p.add_argument("--activation_dir", type=str, default="saved_activations")
+    p.add_argument("--result_dir", type=str, default="results")
+    p.add_argument("--save_prefix", type=str, default="")
+    p.add_argument("--Breast_clip_chkpt", type=str, default=None)
+    p.add_argument("--finetuned_img_classifier_chkpt", type=str, default=None)
+    p.add_argument("--num_class", type=int, default=1)
+    p.add_argument("--probe_kwargs", type=str, default="{}",
+                   help="JSON dict forwarded to the probe factory (csv_file, root, ...)")
+    p.add_argument("--device", type=str, default=None,
+                   help="accepted for reference-flag compatibility; ignored (JAX "
+                        "selects the TPU/CPU backend)")
+    return p
+
+
+def main(argv=None):
+    args = build_parser().parse_args(argv)
+    cfg = DissectConfig(
+        target_model=args.target_model,
+        target_layers=args.target_layers.split(","),
+        d_probe=args.d_probe,
+        concept_set=args.concept_set,
+        clip_model=args.clip_model,
+        batch_size=args.batch_size,
+        pool_mode=args.pool_mode,
+        similarity_fn=args.similarity_fn,
+        top_k=args.top_k,
+        activation_dir=args.activation_dir,
+        result_dir=args.result_dir,
+        save_prefix=args.save_prefix,
+        breast_clip_ckpt=args.Breast_clip_chkpt,
+        finetuned_ckpt=args.finetuned_img_classifier_chkpt,
+        num_class=args.num_class,
+        probe_kwargs=json.loads(args.probe_kwargs),
+    )
+    df, csv_path = run_dissection(cfg)
+    print(f"Dissection done! {len(df)} units described. Results saved to {csv_path}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

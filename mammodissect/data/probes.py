@@ -1,0 +1,272 @@
+"""Probe-dataset registry (the D_probe side of dissection).
+
+Replaces the reference's `get_data(d_probe, preprocess)` dispatch
+(`concept_vit/data_utils.py:102-311`). Every probe yields HWC float32 images through a
+uniform interface — one Batch contract instead of the reference's dict-vs-tuple
+squeeze/permute special-casing (`concept_vit/utils.py:85-103,176`).
+
+Built-in probe families (reference parity, SURVEY.md §2.7):
+  synthetic            deterministic random probe for tests/benchmarks
+  folder:<path>        ImageFolder-style directory of images (broden / imagenet roots)
+  txt:<file>           path[,label] list file (imagenet_subsets, `Imagenet_custom_dataloader.py:5-37`)
+  csv:<file>           vindr/csaw/embed-style CSV with an image-path column + 1520x912
+                       grayscale minmax-meanstd pipeline (`data_utils.py:114-158`)
+  cifar100_train/val   CIFAR-100 via a local torchvision cache if present (zero-egress env)
+  combined:<a>+<b>     concatenation (`data_utils.py:159-167` ConcatDataset)
+"""
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+from typing import Callable, List, Optional, Sequence
+
+import numpy as np
+
+from mammodissect.data import transforms as T
+
+IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tif", ".tiff")
+
+
+class Probe:
+    """Uniform probe interface: len() + image(i) -> HWC float32 (+ optional label(i))."""
+
+    image_shape: tuple  # (H, W, C), static for the whole probe (XLA static shapes)
+
+    def __len__(self) -> int:
+        raise NotImplementedError
+
+    def image(self, i: int) -> np.ndarray:
+        raise NotImplementedError
+
+    def label(self, i: int):
+        return None
+
+
+@dataclass
+class ArrayProbe(Probe):
+    """In-memory probe (synthetic data, tests, benchmarks)."""
+
+    images: np.ndarray  # [N, H, W, C] float32
+    labels: Optional[np.ndarray] = None
+
+    def __post_init__(self):
+        self.image_shape = tuple(self.images.shape[1:])
+
+    def __len__(self):
+        return len(self.images)
+
+    def image(self, i):
+        return self.images[i]
+
+    def label(self, i):
+        return None if self.labels is None else self.labels[i]
+
+
+class FolderProbe(Probe):
+    """Recursively-globbed image directory, sorted paths (class label = parent dir name
+    when nested one level, like torchvision ImageFolder)."""
+
+    def __init__(self, root: str, preprocess: Callable[[np.ndarray], np.ndarray],
+                 image_shape: tuple, grayscale: bool = False):
+        self.root = root
+        self.preprocess = preprocess
+        self.image_shape = image_shape
+        self.grayscale = grayscale
+        paths: List[str] = []
+        for dirpath, _, files in sorted(os.walk(root)):
+            for f in sorted(files):
+                if f.lower().endswith(IMG_EXTS):
+                    paths.append(os.path.join(dirpath, f))
+        if not paths:
+            raise FileNotFoundError(f"no images under {root!r}")
+        self.paths = paths
+        classes = sorted({os.path.basename(os.path.dirname(p)) for p in paths})
+        self._class_ids = {c: i for i, c in enumerate(classes)}
+
+    def __len__(self):
+        return len(self.paths)
+
+    def image(self, i):
+        arr = T.load_image(self.paths[i], self.grayscale)
+        return self.preprocess(arr)
+
+    def label(self, i):
+        return self._class_ids[os.path.basename(os.path.dirname(self.paths[i]))]
+
+
+class TxtListProbe(Probe):
+    """`path label`-per-line list file (reference `CustomImageDatasetFromTxt`,
+    `data/Imagenet_custom_dataloader.py:5-37`), paths relative to `root`."""
+
+    def __init__(self, list_file: str, root: str = "", preprocess=None,
+                 image_shape: tuple = (224, 224, 3), grayscale: bool = False):
+        self.preprocess = preprocess or T.imagenet_preprocess
+        self.image_shape = image_shape
+        self.grayscale = grayscale
+        self.entries: List[tuple] = []
+        with open(list_file) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                parts = line.split()
+                path = os.path.join(root, parts[0]) if root else parts[0]
+                lab = int(parts[1]) if len(parts) > 1 else -1
+                self.entries.append((path, lab))
+
+    def __len__(self):
+        return len(self.entries)
+
+    def image(self, i):
+        arr = T.load_image(self.entries[i][0], self.grayscale)
+        return self.preprocess(arr)
+
+    def label(self, i):
+        return self.entries[i][1]
+
+
+class CsvProbe(Probe):
+    """CSV-driven mammography probe (vindr / csaw / embed families): an image-path column
+    plus optional label columns; 1520x912 grayscale minmax-meanstd pipeline by default
+    (`concept_vit/data_utils.py:114-158`, `data/dataset/image_classification_zs.py:86-103`)."""
+
+    def __init__(
+        self,
+        csv_file: str,
+        image_col: str = "image_path",
+        root: str = "",
+        label_col: Optional[str] = None,
+        split_col: Optional[str] = None,
+        split: Optional[str] = None,
+        size_hw: tuple = T.VINDR_SIZE,
+        mean: float = T.VINDR_MEAN,
+        std: float = T.VINDR_STD,
+    ):
+        import pandas as pd
+
+        df = pd.read_csv(csv_file)
+        if split_col and split is not None and split_col in df.columns:
+            df = df[df[split_col] == split].reset_index(drop=True)
+        self.df = df
+        self.image_col = image_col
+        self.label_col = label_col
+        self.root = root
+        self.size_hw = size_hw
+        self.mean, self.std = mean, std
+        self.image_shape = (size_hw[0], size_hw[1], 1)
+
+    def __len__(self):
+        return len(self.df)
+
+    def image(self, i):
+        path = os.path.join(self.root, str(self.df.iloc[i][self.image_col]))
+        arr = T.load_image(path, grayscale=True)
+        arr = T.resize(arr, self.size_hw)
+        return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
+
+    def label(self, i):
+        return None if self.label_col is None else self.df.iloc[i][self.label_col]
+
+
+class ConcatProbe(Probe):
+    """Sequential concatenation (reference `combined` probe, `data_utils.py:159-167`).
+    All members must share image_shape."""
+
+    def __init__(self, probes: Sequence[Probe]):
+        shapes = {p.image_shape for p in probes}
+        if len(shapes) != 1:
+            raise ValueError(f"combined probes must share image_shape, got {shapes}")
+        self.probes = list(probes)
+        self.image_shape = probes[0].image_shape
+        self._offsets = np.cumsum([0] + [len(p) for p in probes])
+
+    def __len__(self):
+        return int(self._offsets[-1])
+
+    def _locate(self, i):
+        j = int(np.searchsorted(self._offsets, i, side="right")) - 1
+        return self.probes[j], i - int(self._offsets[j])
+
+    def image(self, i):
+        p, k = self._locate(i)
+        return p.image(k)
+
+    def label(self, i):
+        p, k = self._locate(i)
+        return p.label(k)
+
+
+def synthetic_probe(n: int = 64, h: int = 64, w: int = 64, c: int = 1, seed: int = 0) -> ArrayProbe:
+    """Deterministic random probe with planted per-image structure (for tests/benches)."""
+    rng = np.random.default_rng(seed)
+    imgs = rng.normal(size=(n, h, w, c)).astype(np.float32)
+    labels = rng.integers(0, 10, size=n)
+    return ArrayProbe(imgs, labels)
+
+
+def get_probe(spec: str, **kw) -> Probe:
+    """Resolve a probe spec string. Replaces `get_data` (`data_utils.py:102-311`)."""
+    if spec.startswith("combined:"):
+        parts = spec[len("combined:"):].split("+")
+        return ConcatProbe([get_probe(p, **kw) for p in parts])
+    if spec == "synthetic":
+        return synthetic_probe(**{k: v for k, v in kw.items() if k in ("n", "h", "w", "c", "seed")})
+    if spec.startswith("folder:"):
+        root = spec[len("folder:"):]
+        shape = tuple(kw.get("image_shape") or (224, 224, 3))
+        grayscale = bool(kw.get("grayscale", shape[-1] == 1))
+        preprocess = kw.get("preprocess") or _default_folder_preprocess(shape)
+        return FolderProbe(root, preprocess, shape, grayscale=grayscale)
+    if spec.startswith("txt:"):
+        return TxtListProbe(spec[len("txt:"):], root=kw.get("root", ""),
+                            preprocess=kw.get("preprocess"),
+                            image_shape=kw.get("image_shape", (224, 224, 3)))
+    if spec.startswith("csv:"):
+        return CsvProbe(spec[len("csv:"):], **{k: v for k, v in kw.items() if k in (
+            "image_col", "root", "label_col", "split_col", "split", "size_hw", "mean", "std")})
+    if spec in ("vindr", "csaw", "csaw_all_splits", "embed_png", "embed_marker_84",
+                "embed_marker_only", "embed_implant", "embed_non_implant"):
+        # reference probe names resolve to CSV probes rooted at a data dir
+        csv_file = kw.get("csv_file")
+        if not csv_file:
+            raise ValueError(
+                f"probe {spec!r} needs csv_file=<metadata csv> (and root=) in this environment"
+            )
+        split_kw = {"split_col": "split", "split": kw.get("split", "training")} if spec == "csaw" else {}
+        return CsvProbe(csv_file, root=kw.get("root", ""),
+                        image_col=kw.get("image_col", "image_path"), **split_kw)
+    if spec.startswith("cifar100"):
+        return _cifar_probe(spec, **kw)
+    raise KeyError(f"unknown probe spec {spec!r}")
+
+
+def _default_folder_preprocess(shape: tuple):
+    """Resize-to-shape (+ grayscale min-max/std for 1-channel targets, ImageNet norm
+    for RGB) so `folder:` probes work out of the box for any target geometry."""
+    h, w, c = shape
+    if c == 1:
+        return lambda arr: T.minmax_meanstd(
+            T.resize(arr if arr.shape[-1] == 1 else arr.mean(axis=-1, keepdims=True), (h, w)),
+            T.VINDR_MEAN, T.VINDR_STD,
+        ).astype(np.float32)
+    return lambda arr: (
+        (T.resize(np.repeat(arr, 3, axis=-1) if arr.shape[-1] == 1 else arr, (h, w))
+         - T.IMAGENET_MEAN) / T.IMAGENET_STD
+    ).astype(np.float32)
+
+
+def _cifar_probe(spec: str, data_root: str = "./data_cache", **kw) -> ArrayProbe:
+    """CIFAR-100 through a local torchvision cache (this env has no egress; the reference
+    downloads on demand, `data_utils.py:103-113`)."""
+    import torchvision
+
+    train = spec.endswith("train")
+    ds = torchvision.datasets.CIFAR100(root=data_root, train=train, download=False)
+    imgs = ds.data.astype(np.float32) / 255.0  # [N, 32, 32, 3]
+    imgs = (imgs - T.IMAGENET_MEAN) / T.IMAGENET_STD
+    return ArrayProbe(imgs.astype(np.float32), np.asarray(ds.targets))
+
+
+PROBES = ("synthetic", "folder:<path>", "txt:<file>", "csv:<file>", "vindr", "csaw",
+          "csaw_all_splits", "embed_png", "embed_marker_84", "embed_marker_only",
+          "combined:<a>+<b>", "cifar100_train", "cifar100_val")

@@ -1,0 +1,207 @@
+"""Dissection engine: harvest → cache → score (reference `concept_vit/utils.py`).
+
+Pipeline stages (same disk-staged design as the reference — SURVEY.md §7 move 2):
+  1. harvest per-layer pooled activations of the target over D_probe     -> .npy cache
+  2. embed D_probe with the dissector's image tower                      -> .npy cache
+  3. embed the concept set with the dissector's text tower               -> .npy cache
+  4. clip_feats = img_feats @ text_feats.T ; similarity_fn -> [U, C]    (fp32, jitted)
+
+Cache naming parity (`get_save_names`, `concept_vit/utils.py:54-62`):
+  {save_dir}/{d_probe}_{target_name}_{layer}{pool_suffix}.npy
+  {save_dir}/{d_probe}_{clip_name}.npy
+  {save_dir}/{concept_set_stem}_{clip_name}.npy
+with skip-if-exists memoization (`_all_saved`, `utils.py:648-657`) so interrupted runs
+resume for free."""
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional, Sequence
+
+import numpy as np
+
+from mammodissect.data.loader import iter_batches
+from mammodissect.data.probes import get_probe
+from mammodissect.dissect.capture import canonical_layer_name
+from mammodissect.dissect.dissectors import get_dissector
+from mammodissect.dissect.targets import get_target_model
+from mammodissect.dissect.results import write_results
+from mammodissect.ops.pooling import PM_SUFFIX
+from mammodissect.ops.similarity import get_similarity_fn
+
+
+def get_save_names(clip_name: str, target_name: str, target_layer: str, d_probe: str,
+                   concept_set: str, pool_mode: str, save_dir: str, prefix: str = ""):
+    """Cache-file naming, same scheme as the reference (`utils.py:54-62`) plus the
+    experiment prefix the drivers prepend (`describe_broad_neurons.py:90-92`)."""
+    layer = canonical_layer_name(target_layer)
+    suffix = PM_SUFFIX[pool_mode]
+    # probe specs may embed paths ("folder:/data/probe"); flatten for filenames
+    d_probe = d_probe.replace("/", "_").replace(":", "_")
+    target = f"{save_dir}/{prefix}{d_probe}_{target_name}_{layer}{suffix}.npy"
+    clip = f"{save_dir}/{prefix}{d_probe}_{clip_name.replace('/', '')}.npy"
+    stem = os.path.splitext(os.path.basename(concept_set))[0]
+    text = f"{save_dir}/{prefix}{stem}_{clip_name.replace('/', '')}.npy"
+    return target, clip, text
+
+
+def _all_saved(paths: Sequence[str]) -> bool:
+    return all(os.path.exists(p) for p in paths)
+
+
+@dataclass
+class DissectConfig:
+    """Flag surface of `describe_broad_neurons.py:15-49`, typed."""
+
+    target_model: str = "tiny_cnn"
+    target_layers: List[str] = field(default_factory=lambda: ["blocks.0"])
+    d_probe: str = "synthetic"
+    concept_set: str = ""
+    clip_model: str = "random"
+    batch_size: int = 200
+    pool_mode: str = "avg"
+    similarity_fn: str = "soft_wpmi"
+    top_k: int = 100
+    activation_dir: str = "saved_activations"
+    result_dir: str = "results"
+    save_prefix: str = ""
+    num_top_concepts: int = 10  # top-10 concepts/neuron (`describe_broad_neurons.py:101`)
+    num_top_images: int = 5  # top-5 activating images (`describe_broad_neurons.py:102`)
+    breast_clip_ckpt: Optional[str] = None
+    finetuned_ckpt: Optional[str] = None
+    num_class: int = 1
+    probe_kwargs: dict = field(default_factory=dict)
+    target_kwargs: dict = field(default_factory=dict)
+    dissector_kwargs: dict = field(default_factory=dict)
+
+
+def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None,
+                     log=print) -> Dict[str, str]:
+    """Stage 1–3: populate the activation/feature cache. Returns {kind: path}.
+
+    Mirrors `utils.save_activations` (`concept_vit/utils.py:430-564`) without the
+    per-probe-family special cases: every probe speaks the uniform Batch contract."""
+    os.makedirs(cfg.activation_dir, exist_ok=True)
+    probe = probe or get_probe(cfg.d_probe, **cfg.probe_kwargs)
+    layers = [canonical_layer_name(l) for l in cfg.target_layers]
+
+    paths: Dict[str, str] = {}
+    target_paths = {}
+    for layer in layers:
+        t, c, x = get_save_names(cfg.clip_model, cfg.target_model, layer, cfg.d_probe,
+                                 cfg.concept_set, cfg.pool_mode, cfg.activation_dir,
+                                 cfg.save_prefix)
+        target_paths[layer] = t
+        paths["clip"] = c
+        paths["text"] = x
+    paths.update({f"target:{k}": v for k, v in target_paths.items()})
+
+    # ---- stage 1: target activation harvest (one jitted forward for ALL layers) ----
+    missing_layers = [l for l in layers if not os.path.exists(target_paths[l])]
+    if missing_layers:
+        target = target or get_target_model(
+            cfg.target_model,
+            ckpt_path=cfg.breast_clip_ckpt,
+            finetuned_ckpt=cfg.finetuned_ckpt,
+            num_class=cfg.num_class,
+            **cfg.target_kwargs,
+        )
+        t0 = time.time()
+        acc: Dict[str, list] = {l: [] for l in layers}
+        n_images = 0
+        for batch in iter_batches(probe, cfg.batch_size):
+            captured = target.harvest(batch.images, layers, cfg.pool_mode)
+            for l in layers:
+                acc[l].append(captured[l][: batch.n_valid])
+            n_images += batch.n_valid
+        for l in layers:
+            np.save(target_paths[l], np.concatenate(acc[l], axis=0))
+        log(f"[harvest] {n_images} images x {len(layers)} layers in {time.time()-t0:.1f}s")
+    else:
+        log("[harvest] all target activations cached, skipping")
+
+    # ---- stage 2: dissector image features ----
+    if not os.path.exists(paths["clip"]):
+        dissector = dissector or get_dissector(cfg.clip_model, **cfg.dissector_kwargs)
+        t0 = time.time()
+        feats = []
+        for batch in iter_batches(probe, cfg.batch_size):
+            feats.append(dissector.embed_images(batch.images)[: batch.n_valid])
+        np.save(paths["clip"], np.concatenate(feats, axis=0))
+        log(f"[clip-img] embedded D_probe in {time.time()-t0:.1f}s")
+
+    # ---- stage 3: concept text features ----
+    if not os.path.exists(paths["text"]):
+        dissector = dissector or get_dissector(cfg.clip_model, **cfg.dissector_kwargs)
+        words = read_concepts(cfg.concept_set)
+        np.save(paths["text"], dissector.embed_texts(words))
+        log(f"[clip-txt] embedded {len(words)} concepts")
+    return paths
+
+
+def read_concepts(concept_set: str) -> List[str]:
+    with open(concept_set) as f:
+        return [w for w in f.read().split("\n") if w.strip()]
+
+
+def get_similarity_from_activations(
+    target_save_name: str,
+    clip_save_name: str,
+    text_save_name: str,
+    similarity_fn,
+    return_target_feats: bool = True,
+    top_k: int = 100,
+):
+    """Stage 4 (reference `utils.py:566-612`): load cached features, L2-normalize both
+    towers, clip_feats = img @ text.T (fp32), score."""
+    image_features = np.load(clip_save_name).astype(np.float32)
+    text_features = np.load(text_save_name).astype(np.float32)
+    image_features /= np.clip(np.linalg.norm(image_features, axis=1, keepdims=True), 1e-12, None)
+    text_features /= np.clip(np.linalg.norm(text_features, axis=1, keepdims=True), 1e-12, None)
+    clip_feats = image_features @ text_features.T
+
+    target_feats = np.load(target_save_name).astype(np.float32)
+    kwargs = {}
+    if getattr(similarity_fn, "__name__", "") in ("soft_wpmi",):
+        kwargs["top_k"] = min(top_k, target_feats.shape[0])
+    similarity = np.asarray(similarity_fn(clip_feats, target_feats, **kwargs))
+    if return_target_feats:
+        return similarity, target_feats
+    return similarity
+
+
+def run_dissection(cfg: DissectConfig, probe=None, target=None, dissector=None, log=print):
+    """Full driver (reference `describe_broad_neurons.py.__main__`): harvest + score every
+    layer, emit the results CSV `{layer, unit, description, similarity, images}` and an
+    args.txt metadata dump. Returns (DataFrame, csv_path)."""
+    paths = save_activations(cfg, probe=probe, target=target, dissector=dissector, log=log)
+    words = read_concepts(cfg.concept_set)
+    similarity_fn = get_similarity_fn(cfg.similarity_fn)
+
+    outputs = {"layer": [], "unit": [], "description": [], "similarity": [], "images": []}
+    for raw_layer in cfg.target_layers:
+        layer = canonical_layer_name(raw_layer)
+        sim, target_feats = get_similarity_from_activations(
+            paths[f"target:{layer}"], paths["clip"], paths["text"], similarity_fn,
+            top_k=cfg.top_k,
+        )
+        k_c = min(cfg.num_top_concepts, sim.shape[1])
+        k_i = min(cfg.num_top_images, target_feats.shape[0])
+        top_concepts = np.argsort(-sim, axis=1, kind="stable")[:, :k_c]  # [U, k_c]
+        top_vals = np.take_along_axis(sim, top_concepts, axis=1)
+        top_images = np.argsort(-target_feats, axis=0, kind="stable")[:k_i].T  # [U, k_i]
+
+        n_units = sim.shape[0]
+        outputs["layer"].extend([layer] * n_units)
+        outputs["unit"].extend(range(n_units))
+        outputs["description"].extend(
+            [[words[int(i)] for i in row] for row in top_concepts]
+        )
+        outputs["similarity"].extend([row.tolist() for row in top_vals])
+        outputs["images"].extend([row.tolist() for row in top_images])
+        log(f"[score] {layer}: {n_units} units scored")
+
+    df, csv_path = write_results(outputs, cfg)
+    return df, csv_path

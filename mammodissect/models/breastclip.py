@@ -1,0 +1,259 @@
+"""BreastClip (Mammo-CLIP) dual encoder in Flax.
+
+Re-implements the reference's `BreastClip` (`model/clip.py:12-137`) with the canonical
+config the dissection engine hardcodes (`concept_vit/utils.py:434-446`):
+EfficientNet-B5 'tf_efficientnet_b5_ns-detect' image tower (grayscale, GeM pooled,
+2048-d) + Bio_ClinicalBERT text tower (768-d, eos pooling) + linear projection heads to
+512 + temperature 0.07 → logit_scale param = log(1/T).
+
+Contract parity:
+- encode_image: pooled CNN features (ViT towers would take CLS, `model/clip.py:44-52`)
+- encode_text: eos/bos/mean pooling over last hidden states (`model/clip.py:60-79`)
+- forward(batch): normalized embeddings + labels + exp(logit_scale), optional second
+  text view + image view (`model/clip.py:103-137`)
+- tokenize: WordPiece, max_length 256 (`model/clip.py:81-101`)
+"""
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Any, Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mammodissect.models.bert import BertEncoder
+from mammodissect.models.efficientnet import EfficientNetMammo
+from mammodissect.models.layers import LinearProjectionHead, MLPProjectionHead
+from mammodissect.dissect.dissectors import DISSECTORS
+
+
+def default_model_config() -> Dict:
+    """The hardcoded Mammo-CLIP dissector config (`concept_vit/utils.py:434-443`)."""
+    return {
+        "name": "clip_custom",
+        "temperature": 0.07,
+        "image_encoder": {
+            "source": "cnn",
+            "name": "tf_efficientnet_b5_ns-detect",
+            "model_type": "cnn",
+            "variant": "efficientnet-b5",
+            "in_channels": 1,
+        },
+        "text_encoder": {
+            "source": "huggingface",
+            "name": "emilyalsentzer/Bio_ClinicalBERT",
+            "pooling": "eos",
+            "gradient_checkpointing": False,
+        },
+        "projection_head": {"name": "linear", "dropout": 0.1, "proj_dim": 512},
+    }
+
+
+class BreastClipModule(nn.Module):
+    """Flax module holding both towers + projections + logit_scale."""
+
+    image_variant: str = "efficientnet-b5"
+    in_channels: int = 1
+    text_pooling: str = "eos"
+    proj_dim: int = 512
+    proj_head: str = "linear"
+    proj_dropout: float = 0.1
+    temperature: float = 0.07
+    vocab_size: int = 28996
+    bert_layers: int = 12
+    bert_hidden: int = 768
+    bert_heads: int = 12
+    bert_intermediate: int = 3072
+    grad_checkpoint: bool = False
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.image_encoder = EfficientNetMammo(
+            variant=self.image_variant, in_channels=self.in_channels, dtype=self.dtype
+        )
+        self.text_encoder = BertEncoder(
+            vocab_size=self.vocab_size,
+            hidden_size=self.bert_hidden,
+            num_layers=self.bert_layers,
+            num_heads=self.bert_heads,
+            intermediate_size=self.bert_intermediate,
+            grad_checkpoint=self.grad_checkpoint,
+            dtype=self.dtype,
+        )
+        head = MLPProjectionHead if self.proj_head == "mlp" else LinearProjectionHead
+        self.image_projection = head(self.proj_dim, dtype=self.dtype)
+        self.text_projection = head(self.proj_dim, dtype=self.dtype)
+        self.logit_scale = self.param(
+            "logit_scale", lambda _: jnp.asarray(np.log(1.0 / self.temperature), jnp.float32)
+        )
+
+    # ------------------------------------------------------------------ encoders
+    def encode_image(self, images, train: bool = False, capture: Sequence[int] = (),
+                     pool_mode: str = "avg"):
+        pooled, captured = self.image_encoder(images, train=train, capture=capture,
+                                              pool_mode=pool_mode)
+        if capture:
+            return pooled, captured
+        return pooled
+
+    def encode_text(self, input_ids, attention_mask, train: bool = False):
+        hidden = self.text_encoder(input_ids, attention_mask, deterministic=not train)
+        if self.text_pooling == "eos":
+            eos_idx = jnp.sum(attention_mask, axis=-1) - 1
+            return hidden[jnp.arange(hidden.shape[0]), eos_idx]
+        if self.text_pooling == "bos":
+            return hidden[:, 0]
+        if self.text_pooling == "mean":
+            mask = attention_mask[..., None].astype(hidden.dtype)
+            return jnp.sum(hidden * mask, axis=1) / jnp.clip(jnp.sum(mask, axis=1), 1e-9)
+        raise NotImplementedError(f"pooling {self.text_pooling!r}")
+
+    def project_image(self, feats, train: bool = False):
+        emb = self.image_projection(feats, deterministic=not train)
+        return emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+
+    def project_text(self, feats, train: bool = False):
+        emb = self.text_projection(feats, deterministic=not train)
+        return emb / jnp.linalg.norm(emb, axis=1, keepdims=True)
+
+    # ------------------------------------------------------------------- forward
+    def __call__(self, batch: Dict, train: bool = False):
+        """`BreastClip.forward` contract (`model/clip.py:103-137`)."""
+        image_emb = self.project_image(self.encode_image(batch["images"], train=train), train)
+        text_emb = self.project_text(
+            self.encode_text(batch["input_ids"], batch["attention_mask"], train=train), train
+        )
+        out = {
+            "image_embeddings": image_emb,
+            "text_embeddings": text_emb,
+            "labels": jnp.arange(image_emb.shape[0]),
+            "logit_scale": jnp.exp(self.logit_scale),
+        }
+        if "input_ids2" in batch and "image_views" in batch:
+            out["text_embeddings2"] = self.project_text(
+                self.encode_text(batch["input_ids2"], batch["attention_mask2"], train=train),
+                train,
+            )
+            out["image_view_embeddings"] = self.project_image(
+                self.encode_image(batch["image_views"], train=train), train
+            )
+        return out
+
+
+@dataclass
+class BreastClip:
+    """User-facing wrapper: module + params + tokenizer (mirrors the torch class surface:
+    encode_image / encode_text / tokenize / forward / image_projection / text_projection)."""
+
+    module: BreastClipModule
+    variables: Dict
+    tokenizer: Any = None
+    max_length: int = 256
+
+    _jit_cache: Dict = field(default_factory=dict, repr=False)
+
+    @classmethod
+    def create(cls, model_config: Optional[Dict] = None, tokenizer=None, seed: int = 0,
+               image_shape=(1520, 912, 1), ckpt_path: Optional[str] = None,
+               dtype=jnp.float32, bert_layers: int = 12, vocab_size: int = 28996):
+        cfg = model_config or default_model_config()
+        ie, te, ph = cfg["image_encoder"], cfg["text_encoder"], cfg.get("projection_head", {})
+        module = BreastClipModule(
+            image_variant=ie.get("variant", "efficientnet-b5"),
+            in_channels=ie.get("in_channels", 1),
+            text_pooling=te.get("pooling", "eos"),
+            proj_dim=ph.get("proj_dim", 512),
+            proj_head=ph.get("name", "linear"),
+            proj_dropout=ph.get("dropout", 0.1),
+            temperature=cfg.get("temperature", 0.07),
+            grad_checkpoint=te.get("gradient_checkpointing", False),
+            dtype=dtype,
+            bert_layers=bert_layers,
+            vocab_size=vocab_size,
+        )
+        h, w, c = image_shape
+        init_batch = {
+            "images": jnp.ones((1, h, w, c), jnp.float32),
+            "input_ids": jnp.ones((1, 8), jnp.int32),
+            "attention_mask": jnp.ones((1, 8), jnp.int32),
+        }
+        variables = jax.jit(module.init)(jax.random.PRNGKey(seed), init_batch)
+        if ckpt_path:
+            from mammodissect.utils.torch_convert import load_breastclip_checkpoint
+
+            variables = load_breastclip_checkpoint(ckpt_path, variables)
+        return cls(module=module, variables=variables, tokenizer=tokenizer)
+
+    def _jitted(self, name, fn):
+        if name not in self._jit_cache:
+            self._jit_cache[name] = jax.jit(fn)
+        return self._jit_cache[name]
+
+    def tokenize(self, texts, max_length: Optional[int] = None):
+        if self.tokenizer is None:
+            raise ValueError("BreastClip was created without a tokenizer")
+        return self.tokenizer(texts, max_length=max_length or self.max_length)
+
+    def encode_image(self, images) -> np.ndarray:
+        fn = self._jitted(
+            "enc_img",
+            lambda v, x: self.module.apply(v, x, method=BreastClipModule.encode_image),
+        )
+        return np.asarray(fn(self.variables, jnp.asarray(images)))
+
+    def encode_text(self, input_ids, attention_mask) -> np.ndarray:
+        fn = self._jitted(
+            "enc_txt",
+            lambda v, i, m: self.module.apply(v, i, m, method=BreastClipModule.encode_text),
+        )
+        return np.asarray(fn(self.variables, jnp.asarray(input_ids), jnp.asarray(attention_mask)))
+
+    def embed_images(self, images) -> np.ndarray:
+        """Dissector interface: projected + L2-normalized image embeddings
+        (`utils.py:19-26` encode_image + image_projection + norm)."""
+        fn = self._jitted(
+            "embed_img",
+            lambda v, x: self.module.apply(
+                v, self.module.apply(v, x, method=BreastClipModule.encode_image),
+                method=BreastClipModule.project_image,
+            ),
+        )
+        return np.asarray(fn(self.variables, jnp.asarray(images)))
+
+    def embed_texts(self, texts) -> np.ndarray:
+        """Dissector interface: tokenized + eos-pooled + projected + normalized
+        (`utils.py:390-414` save_clip_vindr_text_features)."""
+        toks = self.tokenize(list(texts))
+        fn = self._jitted(
+            "embed_txt",
+            lambda v, i, m: self.module.apply(
+                v, self.module.apply(v, i, m, method=BreastClipModule.encode_text),
+                method=BreastClipModule.project_text,
+            ),
+        )
+        return np.asarray(
+            fn(self.variables, jnp.asarray(toks["input_ids"]), jnp.asarray(toks["attention_mask"]))
+        )
+
+    def forward(self, batch: Dict) -> Dict:
+        fn = self._jitted("forward", lambda v, b: self.module.apply(v, b))
+        return fn(self.variables, {k: jnp.asarray(v) for k, v in batch.items()})
+
+
+@DISSECTORS.register("breastclip")
+def _breastclip_dissector(ckpt_path=None, vocab_file=None, image_shape=(1520, 912, 1),
+                          max_length: int = 256, **kw):
+    from mammodissect.models.tokenizers import WordPieceTokenizer
+
+    if vocab_file:
+        tok = WordPieceTokenizer(vocab_file=vocab_file)
+        vocab_size = len(tok.vocab)
+    else:
+        tok = WordPieceTokenizer.toy()
+        vocab_size = len(tok.vocab)
+    return BreastClip.create(
+        tokenizer=tok, image_shape=image_shape, ckpt_path=ckpt_path,
+        vocab_size=vocab_size, **kw,
+    )

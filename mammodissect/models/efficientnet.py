@@ -1,0 +1,262 @@
+"""EfficientNet (B0–B7) in Flax, NHWC, TPU-first — the Mammo-CLIP image encoder family.
+
+Re-implements the capability of the reference's vendored lukemelas EfficientNet
+(`model/modules/efficientnet_custom.py`): MBConv blocks with expand→depthwise→SE→project
+(+ drop-connect, `:36-140`), the `_blocks` flat list whose 39 B5 entries are the dissection
+hook targets (`:181-198`, `concept_vit/run_clipdissect.sh:6-9`), and `extract_features`
+(`:287-303`). Design differences (TPU-idiomatic, not a translation):
+
+- NHWC layout; convs use XLA's native 'SAME' padding (bit-equivalent to the reference's
+  TF-SAME dynamic padding, `efficient_net_custom_utils.py:215-277`).
+- Forward is a single traced program; activation "hooks" are a static `capture` tuple of
+  block indices — each captured block's output is pooled (avg/max over spatial) *inside*
+  the jitted forward, so harvesting all 39 layers is one XLA program with [B, C]-sized
+  residuals instead of 39 Python-side hook round-trips (`concept_vit/utils.py:80-81`).
+- BatchNorm carries running stats in the `batch_stats` collection
+  (momentum 0.99 / eps 1e-3, TF defaults, matching `efficient_net_custom_utils.py:457+`).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from mammodissect.models.layers import (
+    GeM,
+    SqueezeExcite,
+    drop_connect,
+    round_filters,
+    round_repeats,
+)
+from mammodissect.ops.pooling import pool_activation
+
+# Base (B0) block args — the decoded form of the reference's BlockDecoder strings
+# ('r1_k3_s11_e1_i32_o16_se0.25', ..., `efficient_net_custom_utils.py:500-520`).
+@dataclasses.dataclass(frozen=True)
+class BlockArgs:
+    num_repeat: int
+    kernel_size: int
+    stride: int
+    expand_ratio: int
+    input_filters: int
+    output_filters: int
+    se_ratio: float
+    id_skip: bool = True
+
+
+BASE_BLOCK_ARGS: Tuple[BlockArgs, ...] = (
+    BlockArgs(1, 3, 1, 1, 32, 16, 0.25),
+    BlockArgs(2, 3, 2, 6, 16, 24, 0.25),
+    BlockArgs(2, 5, 2, 6, 24, 40, 0.25),
+    BlockArgs(3, 3, 2, 6, 40, 80, 0.25),
+    BlockArgs(3, 5, 1, 6, 80, 112, 0.25),
+    BlockArgs(4, 5, 2, 6, 112, 192, 0.25),
+    BlockArgs(1, 3, 1, 6, 192, 320, 0.25),
+)
+
+# (width_coefficient, depth_coefficient, resolution, dropout_rate) per variant
+# (reference `efficient_net_custom_utils.py:457-478` efficientnet_params).
+EFFICIENTNET_PARAMS: Dict[str, Tuple[float, float, int, float]] = {
+    "efficientnet-b0": (1.0, 1.0, 224, 0.2),
+    "efficientnet-b1": (1.0, 1.1, 240, 0.2),
+    "efficientnet-b2": (1.1, 1.2, 260, 0.3),
+    "efficientnet-b3": (1.2, 1.4, 300, 0.3),
+    "efficientnet-b4": (1.4, 1.8, 380, 0.4),
+    "efficientnet-b5": (1.6, 2.2, 456, 0.4),
+    "efficientnet-b6": (1.8, 2.6, 528, 0.5),
+    "efficientnet-b7": (2.0, 3.1, 600, 0.5),
+}
+
+
+def expand_block_args(
+    width_coefficient: float, depth_coefficient: float
+) -> Tuple[BlockArgs, ...]:
+    """Per-variant flat block list: width-round filters, depth-round repeats; repeated
+    blocks after the first get stride 1 and input=output (`efficientnet_custom.py:181-198`).
+    For B5 this yields the 39 blocks dissection targets."""
+    out = []
+    for ba in BASE_BLOCK_ARGS:
+        in_f = round_filters(ba.input_filters, width_coefficient)
+        out_f = round_filters(ba.output_filters, width_coefficient)
+        repeats = round_repeats(ba.num_repeat, depth_coefficient)
+        out.append(dataclasses.replace(ba, input_filters=in_f, output_filters=out_f, num_repeat=1))
+        for _ in range(repeats - 1):
+            out.append(
+                dataclasses.replace(
+                    ba, input_filters=out_f, output_filters=out_f, stride=1, num_repeat=1
+                )
+            )
+    return tuple(out)
+
+
+class MBConvBlock(nn.Module):
+    """Mobile inverted bottleneck: expand(1x1) → depthwise(kxk) → SE → project(1x1),
+    skip + drop-connect when stride 1 and channels match (`efficientnet_custom.py:36-140`)."""
+
+    args: BlockArgs
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jax.Array, train: bool = False, drop_rate: float = 0.0) -> jax.Array:
+        ba = self.args
+        inp = x
+        c_in = x.shape[-1]
+        c_exp = c_in * ba.expand_ratio
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
+                name=name,
+                dtype=self.dtype,
+            )
+
+        if ba.expand_ratio != 1:
+            x = nn.Conv(c_exp, (1, 1), use_bias=False, name="expand_conv", dtype=self.dtype)(x)
+            x = bn("bn0")(x)
+            x = jax.nn.silu(x)
+
+        x = nn.Conv(
+            c_exp,
+            (ba.kernel_size, ba.kernel_size),
+            strides=(ba.stride, ba.stride),
+            padding="SAME",
+            feature_group_count=c_exp,
+            use_bias=False,
+            name="depthwise_conv",
+            dtype=self.dtype,
+        )(x)
+        x = bn("bn1")(x)
+        x = jax.nn.silu(x)
+
+        if ba.se_ratio and 0 < ba.se_ratio <= 1:
+            num_squeezed = max(1, int(c_in * ba.se_ratio))
+            x = SqueezeExcite(num_squeezed, dtype=self.dtype, name="se")(x)
+
+        x = nn.Conv(
+            ba.output_filters, (1, 1), use_bias=False, name="project_conv", dtype=self.dtype
+        )(x)
+        x = bn("bn2")(x)
+
+        if ba.id_skip and ba.stride == 1 and c_in == ba.output_filters:
+            rng = self.make_rng("dropout") if (train and drop_rate > 0.0) else None
+            x = drop_connect(x, drop_rate, deterministic=not train, rng=rng) + inp
+        return x
+
+
+class EfficientNet(nn.Module):
+    """EfficientNet backbone with dissection capture.
+
+    __call__(x NHWC, train, capture=(i, ...), pool_mode) ->
+        (features [B, H', W', head_dim], {"blocks.i": pooled [B, C_i]})
+
+    `head_dim` is round_filters(1280) — 2048 for B5, matching the reference's
+    Mammo-CLIP image feature dim (`model/modules/__init__.py:46`)."""
+
+    variant: str = "efficientnet-b5"
+    in_channels: int = 1  # mammograms are grayscale (`EfficientNet_Mammo` in_chans=1)
+    drop_connect_rate: float = 0.2
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @property
+    def block_args(self) -> Tuple[BlockArgs, ...]:
+        w, d, _, _ = EFFICIENTNET_PARAMS[self.variant]
+        return expand_block_args(w, d)
+
+    @property
+    def out_dim(self) -> int:
+        w, _, _, _ = EFFICIENTNET_PARAMS[self.variant]
+        return round_filters(1280, w)
+
+    @nn.compact
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        capture: Sequence[int] = (),
+        pool_mode: str = "avg",
+    ):
+        w, d, _, _ = EFFICIENTNET_PARAMS[self.variant]
+        blocks = self.block_args
+        captured: Dict[str, jax.Array] = {}
+
+        def bn(name):
+            return nn.BatchNorm(
+                use_running_average=not train,
+                momentum=self.bn_momentum,
+                epsilon=self.bn_eps,
+                name=name,
+                dtype=self.dtype,
+            )
+
+        x = nn.Conv(
+            round_filters(32, w),
+            (3, 3),
+            strides=(2, 2),
+            padding="SAME",
+            use_bias=False,
+            name="stem_conv",
+            dtype=self.dtype,
+        )(x)
+        x = jax.nn.silu(bn("stem_bn")(x))
+
+        n_blocks = len(blocks)
+        for i, ba in enumerate(blocks):
+            drop_rate = self.drop_connect_rate * i / n_blocks
+            x = MBConvBlock(
+                ba,
+                bn_momentum=self.bn_momentum,
+                bn_eps=self.bn_eps,
+                dtype=self.dtype,
+                name=f"blocks_{i}",
+            )(x, train=train, drop_rate=drop_rate)
+            if i in capture:
+                # fp32 pooling of the block output inside the traced program — the
+                # functional replacement of the reference's forward hooks
+                # (`concept_vit/utils.py:27-52,170-172`)
+                captured[f"blocks.{i}"] = pool_activation(
+                    x.astype(jnp.float32), pool_mode, data_format="NHWC"
+                )
+
+        x = nn.Conv(self.out_dim, (1, 1), use_bias=False, name="head_conv", dtype=self.dtype)(x)
+        x = jax.nn.silu(bn("head_bn")(x))
+        return x, captured
+
+
+class EfficientNetMammo(nn.Module):
+    """Backbone + GeM pooling + flatten: the `EfficientNet_Mammo` image encoder used by
+    BreastClip for 'tf_efficientnet_b5_ns-detect' (`model/modules/image_encoder.py:99-120`,
+    `model/modules/__init__.py:41-46`): grayscale in, pooled `out_dim`-vector out."""
+
+    variant: str = "efficientnet-b5"
+    in_channels: int = 1
+    dtype: Any = jnp.float32
+
+    def setup(self):
+        self.backbone = EfficientNet(
+            variant=self.variant, in_channels=self.in_channels, dtype=self.dtype
+        )
+        self.pool = GeM()
+
+    @property
+    def out_dim(self) -> int:
+        return self.backbone.out_dim
+
+    def __call__(
+        self,
+        x: jax.Array,
+        train: bool = False,
+        capture: Sequence[int] = (),
+        pool_mode: str = "avg",
+    ):
+        features, captured = self.backbone(x, train=train, capture=capture, pool_mode=pool_mode)
+        pooled = self.pool(features)
+        return pooled, captured

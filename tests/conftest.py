@@ -7,6 +7,10 @@ enough — we must override via jax.config after import."""
 import os
 import sys
 
+# zero-egress environment: make HF hub lookups fail fast instead of hanging
+os.environ.setdefault("HF_HUB_OFFLINE", "1")
+os.environ.setdefault("TRANSFORMERS_OFFLINE", "1")
+
 _flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in _flags:
     os.environ["XLA_FLAGS"] = (_flags + " --xla_force_host_platform_device_count=8").strip()
