@@ -27,11 +27,13 @@ class BreastClipClassifierModule(nn.Module):
     in_channels: int = 1
     n_class: int = 1
     freeze_encoder: bool = False  # True for '*_lp' linear-probe archs
+    bn_momentum: float = 0.99
     dtype: Any = jnp.float32
 
     def setup(self):
         self.image_encoder = EfficientNetMammo(
-            variant=self.variant, in_channels=self.in_channels, dtype=self.dtype
+            variant=self.variant, in_channels=self.in_channels,
+            bn_momentum=self.bn_momentum, dtype=self.dtype,
         )
         self.classifier = LinearClassifier(self.n_class, dtype=self.dtype)
 
@@ -76,9 +78,12 @@ def arch_is_linear_probe(arch: str) -> bool:
 
 def arch_variant(arch: str) -> str:
     """Map reference arch strings (upmc_breast_clip_det_b5_period_n_ft / ..._b2_...) to
-    an EfficientNet variant."""
-    if "_b2_" in arch or arch.endswith("_b2"):
-        return "efficientnet-b2"
+    an EfficientNet variant (any bN tag is recognized; default b5)."""
+    import re
+
+    m = re.search(r"_b([0-7])(_|$)", arch)
+    if m:
+        return f"efficientnet-b{m.group(1)}"
     return "efficientnet-b5"
 
 

@@ -238,11 +238,13 @@ class EfficientNetMammo(nn.Module):
 
     variant: str = "efficientnet-b5"
     in_channels: int = 1
+    bn_momentum: float = 0.99
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = EfficientNet(
-            variant=self.variant, in_channels=self.in_channels, dtype=self.dtype
+            variant=self.variant, in_channels=self.in_channels,
+            bn_momentum=self.bn_momentum, dtype=self.dtype,
         )
         self.pool = GeM()
 

@@ -1,0 +1,53 @@
+"""Orbax checkpointing (SURVEY.md §5 checkpoint/resume plan).
+
+The reference saves `{'model': state_dict, 'predictions', 'epoch', 'accuracy'/'auroc',
+'f1'}` on best-metric improvement only (`Classifiers/experiments.py:243-276`) and never
+persists optimizer state. Here checkpoints carry params + batch_stats + opt_state +
+step + metrics + predictions, so training is resumable mid-run — and `load_for_eval`
+gives the reference-shaped view."""
+from __future__ import annotations
+
+import os
+from typing import Any, Dict, Optional
+
+import numpy as np
+
+
+def _checkpointer():
+    import orbax.checkpoint as ocp
+
+    return ocp.PyTreeCheckpointer()
+
+
+def save_checkpoint(path: str, trainer_state, epoch: int, metrics: Dict[str, float],
+                    predictions: Optional[np.ndarray] = None):
+    import jax
+
+    path = os.path.abspath(path)
+    payload = {
+        "params": jax.device_get(trainer_state.params),
+        "batch_stats": jax.device_get(trainer_state.batch_stats),
+        "opt_state": jax.device_get(trainer_state.opt_state),
+        "step": np.asarray(trainer_state.step),
+        "epoch": np.asarray(epoch),
+        "metrics": {k: np.asarray(v) for k, v in metrics.items()},
+    }
+    if predictions is not None:
+        payload["predictions"] = np.asarray(predictions)
+    _checkpointer().save(path, payload, force=True)
+    return path
+
+
+def load_checkpoint(path: str) -> Dict[str, Any]:
+    return _checkpointer().restore(os.path.abspath(path))
+
+
+def load_for_eval(path: str) -> Dict[str, Any]:
+    """{'variables': {params, batch_stats}, 'predictions', 'epoch', metrics...}."""
+    ckpt = load_checkpoint(path)
+    return {
+        "variables": {"params": ckpt["params"], "batch_stats": ckpt.get("batch_stats", {})},
+        "predictions": ckpt.get("predictions"),
+        "epoch": int(ckpt.get("epoch", -1)),
+        "metrics": ckpt.get("metrics", {}),
+    }

@@ -1,0 +1,95 @@
+"""Classifier fine-tune datasets + samplers (L2 of the fine-tune path).
+
+Replaces the reference's `MammoDataset` (`Datasets/dataset_concepts.py:168-227`: cv2
+grayscale load, albumentations, min-max + mean/std, {'x','y','img_path'}) and
+`get_dataloader_RSNA`'s samplers (`Datasets/dataset_utils.py:121-251`: shuffled /
+WeightedRandom balanced; DistributedSampler sharding is unnecessary here — the pjit
+trainer shards the global batch over the mesh itself)."""
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Iterator, Optional
+
+import numpy as np
+
+from mammodissect.data import transforms as T
+from mammodissect.data.loader import HostBatch
+
+
+@dataclass
+class ClassifierDataset:
+    """CSV-driven image+label dataset with the mammo normalization contract."""
+
+    df: "pandas.DataFrame"
+    image_col: str = "image_path"
+    label_col: str = "cancer"
+    root: str = ""
+    size_hw: tuple = (1520, 912)
+    mean: float = T.VINDR_MEAN
+    std: float = T.VINDR_STD
+    train: bool = False
+    seed: int = 0
+
+    def __post_init__(self):
+        self._rng = np.random.default_rng(self.seed)
+        self.image_shape = (self.size_hw[0], self.size_hw[1], 1)
+
+    def __len__(self):
+        return len(self.df)
+
+    def image(self, i: int) -> np.ndarray:
+        import os
+
+        path = os.path.join(self.root, str(self.df.iloc[i][self.image_col]))
+        arr = T.load_image(path, grayscale=True)
+        arr = T.resize(arr, self.size_hw)
+        if self.train:
+            arr = T.augment_train(arr, self._rng)
+        return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
+
+    def label(self, i: int):
+        return self.df.iloc[i][self.label_col]
+
+
+def class_balanced_weights(labels: np.ndarray, sampler_weights: Optional[dict] = None):
+    """Per-sample weights: explicit class->weight map (reference
+    `lumi_single_gpu_train_classifier.py:186-192`) or inverse-frequency."""
+    labels = np.asarray(labels).astype(np.int64)
+    if sampler_weights:
+        return np.asarray([float(sampler_weights[int(l)]) for l in labels])
+    counts = np.bincount(labels)
+    return 1.0 / np.maximum(counts[labels], 1)
+
+
+def iter_epoch(
+    dataset,
+    batch_size: int,
+    shuffle: bool = False,
+    seed: int = 0,
+    balanced_weights: Optional[np.ndarray] = None,
+    drop_last: bool = False,
+    label_dtype=np.float32,
+) -> Iterator[HostBatch]:
+    """One epoch of padded static-shape batches. With `balanced_weights`, samples
+    len(dataset) indices with replacement ∝ weights (WeightedRandomSampler parity,
+    `dataset_utils.py:202-234`)."""
+    n = len(dataset)
+    rng = np.random.default_rng(seed)
+    if balanced_weights is not None:
+        p = balanced_weights / balanced_weights.sum()
+        order = rng.choice(n, size=n, replace=True, p=p)
+    elif shuffle:
+        order = rng.permutation(n)
+    else:
+        order = np.arange(n)
+    h, w, c = dataset.image_shape
+    for start in range(0, n, batch_size):
+        idx = order[start : start + batch_size]
+        if drop_last and len(idx) < batch_size:
+            return
+        imgs = np.zeros((batch_size, h, w, c), np.float32)
+        labels = np.zeros((batch_size,), label_dtype)
+        for j, i in enumerate(idx):
+            imgs[j] = dataset.image(int(i))
+            labels[j] = dataset.label(int(i))
+        yield HostBatch(images=imgs, n_valid=len(idx), start=start, labels=labels)

@@ -1,0 +1,69 @@
+"""Analysis library tests (Plots/ notebook logic, SURVEY.md §2.10)."""
+import numpy as np
+import pandas as pd
+import pytest
+
+from mammodissect.analysis import (
+    add_global_threshold,
+    add_local_threshold,
+    layer_mean_similarity,
+    load_descriptions_csv,
+    map_categories,
+    top_categories_per_layer,
+)
+from mammodissect.analysis.postprocess import concept_domain_counts
+
+
+@pytest.fixture()
+def df():
+    rows = []
+    for layer, sims in [("blocks.0", [0.9, 0.1, 0.5]), ("blocks.1", [0.2, 0.4, 0.6])]:
+        for unit, s in enumerate(sims):
+            rows.append({
+                "layer": layer, "unit": unit,
+                "description": str([f"c{unit}", "x", "y"]),
+                "similarity": str([s, s - 0.05, s - 0.1]),
+                "images": str([1, 2, 3, 4, 5]),
+            })
+    return pd.DataFrame(rows)
+
+
+def test_load_parses_lists_and_top(df):
+    out = load_descriptions_csv(df)
+    assert out.loc[0, "Top_concept"] == "c0"
+    assert out.loc[0, "Top_similarity"] == pytest.approx(0.9)
+
+
+def test_layer_mean_and_local_threshold(df):
+    out = add_local_threshold(load_descriptions_csv(df))
+    means = layer_mean_similarity(out)
+    assert means["blocks.0"] == pytest.approx(0.5)
+    # unit 0 (0.9) and unit 2 (0.5) meet the 0.5 mean; unit 1 (0.1) doesn't
+    sub = out[out["layer"] == "blocks.0"]
+    assert list(sub["Threshold_met"]) == [True, False, True]
+
+
+def test_global_threshold_uses_max_of_runs(df):
+    a = load_descriptions_csv(df)
+    b = a.copy()
+    b["Top_similarity"] = b["Top_similarity"] + 0.2  # run B systematically higher
+    a2, b2, thresh = add_global_threshold(a, b)
+    assert thresh["blocks.0"] == pytest.approx(0.7)  # max(0.5, 0.7)
+    assert "Global_thresh_met" in a2.columns and "Global_thresh_met" in b2.columns
+    assert a2[a2["layer"] == "blocks.0"]["Global_thresh_met"].tolist() == [True, False, False]
+
+
+def test_category_mapping_and_topk(df):
+    out = add_local_threshold(load_descriptions_csv(df))
+    cmap = {"c0": "Findings", "c1": "Anatomy", "c2": "Findings"}
+    out = map_categories(out, cmap)
+    assert set(out["Category"]) <= {"Findings", "Anatomy", "Uncategorized"}
+    top = top_categories_per_layer(out, k=1)
+    assert (top.groupby("layer").size() <= 1).all()
+
+
+def test_domain_counts(df):
+    out = add_local_threshold(load_descriptions_csv(df))
+    counts = concept_domain_counts(out, ["c0"], threshold_col="Threshold_met")
+    row = counts[counts["layer"] == "blocks.0"].iloc[0]
+    assert row["domain"] == 1 and row["other"] == 1  # units 0 (c0) and 2 (c2) pass
