@@ -78,5 +78,85 @@ def _breastclip_encoder(ckpt_path: str | None = None, variant: str = "efficientn
     return EfficientNetTarget(model, variables)
 
 
+@TARGETS.register("breastclip_classifier")
+def _breastclip_classifier(ckpt_path: str | None = None, finetuned_ckpt: str | None = None,
+                           num_class: int = 1, arch: str = "upmc_breast_clip_det_b5_period_n_ft",
+                           image_shape=(1520, 912, 1), seed: int = 0, **_):
+    """Fine-tuned classifier target for C-Mammo-CLIP Dissect
+    (`Classifiers/models/breast_clip_classifier.py:6-81`; hooks still target the encoder's
+    `_blocks`, `run_clipdissect.sh:12-36`). Loads the Mammo-CLIP encoder from `ckpt_path`
+    then overrides with the fine-tuned `.pth` / orbax checkpoint when given."""
+    from mammodissect.models.classifier import (
+        BreastClipClassifierModule,
+        arch_is_linear_probe,
+        arch_variant,
+    )
+
+    module = BreastClipClassifierModule(
+        variant=arch_variant(arch), in_channels=image_shape[-1], n_class=num_class,
+        freeze_encoder=arch_is_linear_probe(arch),
+    )
+    h, w, c = image_shape
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(seed), jnp.ones((1, h, w, c), jnp.float32)
+    )
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    if ckpt_path:
+        from mammodissect.utils.torch_convert import (
+            efficientnet_torch_to_flax,
+            merge_into,
+            torch_load_state_dict,
+        )
+
+        sd, _cfg = torch_load_state_dict(ckpt_path)
+        enc_params, enc_stats, _ = efficientnet_torch_to_flax(sd, prefix="image_encoder.")
+        variables, _mm = merge_into(variables, {
+            "params": {"image_encoder": {"backbone": enc_params}},
+            "batch_stats": {"image_encoder": {"backbone": enc_stats}},
+        })
+    if finetuned_ckpt:
+        if os_path_is_orbax(finetuned_ckpt):
+            from mammodissect.train.checkpoints import load_for_eval
+
+            variables = load_for_eval(finetuned_ckpt)["variables"]
+        else:
+            from mammodissect.utils.torch_convert import (
+                efficientnet_torch_to_flax,
+                merge_into,
+                torch_load_state_dict,
+            )
+
+            sd, _cfg = torch_load_state_dict(finetuned_ckpt)
+            enc_params, enc_stats, _ = efficientnet_torch_to_flax(
+                sd, prefix="image_encoder.")
+            updates = {
+                "params": {"image_encoder": {"backbone": enc_params}},
+                "batch_stats": {"image_encoder": {"backbone": enc_stats}},
+            }
+            # linear head: torch 'classifier.fc.{weight,bias}'
+            if "classifier.fc.weight" in sd:
+                from mammodissect.utils.torch_convert import linear_to_flax
+
+                updates["params"]["classifier"] = {"fc": {
+                    "kernel": linear_to_flax(sd["classifier.fc.weight"]),
+                    "bias": sd["classifier.fc.bias"],
+                }}
+            variables, _mm = merge_into(variables, updates)
+    return EfficientNetTarget(module, variables)
+
+
+def os_path_is_orbax(path: str) -> bool:
+    import os
+
+    return os.path.isdir(path)
+
+
 def get_target_model(name: str, **kw):
+    if name not in TARGETS:
+        # model-backed targets register on import
+        if name.startswith("resnet"):
+            import mammodissect.models.resnet  # noqa: F401
+        elif name.lower().startswith(("vit-", "rn", "clip")):
+            import mammodissect.models.clip_vit  # noqa: F401
     return TARGETS.get(name)(**kw)
