@@ -55,10 +55,17 @@ _TP_RULES = [
 ]
 
 
-def _spec_for(path: str, tensor_parallel: bool) -> P:
+def _spec_for(path: str, tensor_parallel: bool, shape=None, axis_sizes=None) -> P:
     if tensor_parallel:
         for rule, spec in _TP_RULES:
             if rule.match(path):
+                if shape is not None and axis_sizes is not None:
+                    # a dim that doesn't divide the axis cannot be sharded — replicate
+                    for dim, axis in enumerate(spec):
+                        if axis is not None and (
+                            dim >= len(shape) or shape[dim] % axis_sizes.get(axis, 1) != 0
+                        ):
+                            return P()
                 return spec
     return P()
 
@@ -80,7 +87,14 @@ def param_shardings(mesh: Mesh, variables: Dict, tensor_parallel: bool = False):
                 parts.append(str(k))
         return "/".join(parts)
 
-    specs = {path_str(kp): _spec_for(path_str(kp), tensor_parallel) for kp, _ in flat}
+    axis_sizes = dict(mesh.shape)
+    specs = {
+        path_str(kp): _spec_for(
+            path_str(kp), tensor_parallel,
+            shape=getattr(leaf, "shape", None), axis_sizes=axis_sizes,
+        )
+        for kp, leaf in flat
+    }
 
     def to_sharding(kp, _leaf):
         return NamedSharding(mesh, specs[path_str(kp)])
