@@ -23,6 +23,10 @@ BASELINE_IMG_PER_SEC_PER_CHIP = 10_000 / 300 / 8  # 4.166..., see module docstri
 
 
 def main():
+    from mammodissect.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # amortize the ~11-min cold B5 compile across runs
+
     import jax
     import jax.numpy as jnp
 

@@ -46,6 +46,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None):
+    from mammodissect.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     args = build_parser().parse_args(argv)
     cfg = DissectConfig(
         target_model=args.target_model,

@@ -67,6 +67,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from mammodissect.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from mammodissect.train.experiments import FinetuneConfig, do_experiments
 
     args = build_parser().parse_args(argv)

@@ -33,6 +33,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from mammodissect.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     import pandas as pd
 
     from mammodissect.data.imagetext import ImageTextDataset

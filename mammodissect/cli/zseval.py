@@ -34,6 +34,9 @@ def build_parser():
 
 
 def main(argv=None):
+    from mammodissect.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()
     from mammodissect.data.probes import get_probe
     from mammodissect.dissect.dissectors import get_dissector
     from mammodissect.zs import zero_shot_eval

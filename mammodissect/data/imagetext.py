@@ -71,10 +71,11 @@ class ImageTextDataset:
 
     def _load(self, path: str, train: bool) -> np.ndarray:
         arr = T.load_image(path, grayscale=True)
-        arr = T.resize(arr, self.size_hw)
         if train:
+            arr = T.resize(arr, self.size_hw)
             arr = T.augment_train(arr, self._rng)
-        return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
+            return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
+        return T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
 
     def __getitem__(self, index: int) -> Dict:
         row = self.df.iloc[index]

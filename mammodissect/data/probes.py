@@ -161,8 +161,7 @@ class CsvProbe(Probe):
     def image(self, i):
         path = os.path.join(self.root, str(self.df.iloc[i][self.image_col]))
         arr = T.load_image(path, grayscale=True)
-        arr = T.resize(arr, self.size_hw)
-        return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
+        return T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
 
     def label(self, i):
         return None if self.label_col is None else self.df.iloc[i][self.label_col]

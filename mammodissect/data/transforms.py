@@ -65,6 +65,24 @@ def minmax_meanstd(arr: np.ndarray, mean: float, std: float) -> np.ndarray:
     return (arr - mean) / std
 
 
+def gray_resize_normalize(arr: np.ndarray, size_hw: tuple[int, int], mean: float,
+                          std: float, prefer_native: bool = True) -> np.ndarray:
+    """Fused grayscale resize + min-max + mean/std. Uses the native C++ path
+    (mammodissect.native, cv2-style bilinear — the reference's albumentations/cv2
+    semantics) when available, else PIL resize + numpy normalize."""
+    if arr.shape[-1] != 1:
+        arr = arr.mean(axis=-1, keepdims=True)
+    if prefer_native:
+        try:
+            from mammodissect import native
+
+            if native.available():
+                return native.resize_normalize(arr, size_hw, mean, std)
+        except Exception:
+            pass
+    return minmax_meanstd(resize(arr, size_hw), mean, std).astype(np.float32)
+
+
 def vindr_preprocess(arr: np.ndarray, size_hw: tuple[int, int] = VINDR_SIZE) -> np.ndarray:
     """Full VinDr probe pipeline: resize to 1520x912 grayscale + minmax + mean/std."""
     if arr.shape[-1] != 1:

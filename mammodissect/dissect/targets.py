@@ -57,7 +57,7 @@ class EfficientNetTarget:
 def _tiny_cnn(seed: int = 0, in_channels: int = 1, **_):
     """Small deterministic EfficientNet-B0 target for tests/CI (64x64 inputs)."""
     model = EfficientNet(variant="efficientnet-b0", in_channels=in_channels)
-    variables = model.init(
+    variables = jax.jit(model.init)(
         jax.random.PRNGKey(seed), jnp.ones((1, 64, 64, in_channels), jnp.float32)
     )
     return EfficientNetTarget(model, variables)
@@ -70,7 +70,7 @@ def _breastclip_encoder(ckpt_path: str | None = None, variant: str = "efficientn
     loads a converted torch checkpoint when given (`--Breast_clip_chkpt`)."""
     model = EfficientNetMammo(variant=variant, in_channels=image_shape[-1])
     h, w, c = image_shape
-    variables = model.init(jax.random.PRNGKey(seed), jnp.ones((1, h, w, c), jnp.float32))
+    variables = jax.jit(model.init)(jax.random.PRNGKey(seed), jnp.ones((1, h, w, c), jnp.float32))
     if ckpt_path:
         from mammodissect.utils.torch_convert import load_breastclip_image_encoder
 

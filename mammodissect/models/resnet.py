@@ -170,7 +170,7 @@ class ResNetTarget:
     def __init__(self, variant: str = "resnet50", num_classes: int = 1000,
                  ckpt_path: str | None = None, seed: int = 0, input_size: int = 224):
         self.model = ResNet(variant=variant, num_classes=num_classes)
-        self.variables = self.model.init(
+        self.variables = jax.jit(self.model.init)(
             jax.random.PRNGKey(seed), jnp.ones((1, input_size, input_size, 3), jnp.float32)
         )
         if ckpt_path:

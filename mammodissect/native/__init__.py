@@ -1,0 +1,100 @@
+"""Native host-side preprocessing (C++ via ctypes).
+
+Builds `fastimage.cpp` with g++ on first import (cached as _fastimage.so beside the
+source); falls back cleanly to the PIL/numpy path in transforms.py when no compiler is
+available. This is the framework's native data-loader component: the fused
+resize+min-max+mean/std per-image hot path plus a threaded batch variant."""
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "fastimage.cpp")
+_SO = os.path.join(_HERE, "_fastimage.so")
+_lock = threading.Lock()
+_lib = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", "-std=c++17",
+             "-o", _SO, _SRC, "-lpthread"],
+            check=True, capture_output=True, timeout=120,
+        )
+        return True
+    except Exception:
+        return False
+
+
+def get_lib():
+    """The loaded ctypes library, or None when native is unavailable."""
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
+            if not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(_SO)
+        except OSError:
+            return None
+        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+        lib.fi_resize_normalize.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ]
+        lib.fi_batch_resize_normalize.argtypes = [
+            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+            ctypes.c_int,
+        ]
+        _lib = lib
+        return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def resize_normalize(src: np.ndarray, size_hw, mean: float, std: float,
+                     minmax: bool = True) -> np.ndarray:
+    """Fused bilinear resize + (min-max) + mean/std for a [H, W] or [H, W, 1] float32
+    image. Matches transforms.resize + transforms.minmax_meanstd semantics with
+    min/max computed on the source image."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastimage unavailable")
+    img = np.ascontiguousarray(np.squeeze(src, -1) if src.ndim == 3 else src,
+                               dtype=np.float32)
+    dh, dw = size_hw
+    out = np.empty((dh, dw), np.float32)
+    lib.fi_resize_normalize(img, img.shape[0], img.shape[1], out, dh, dw,
+                            1 if minmax else 0, float(mean), float(std))
+    return out[..., None]
+
+
+def batch_resize_normalize(src: np.ndarray, size_hw, mean: float, std: float,
+                           minmax: bool = True, n_threads: int | None = None) -> np.ndarray:
+    """Threaded batch variant: [N, H, W] or [N, H, W, 1] float32 -> [N, dh, dw, 1]."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastimage unavailable")
+    arr = np.ascontiguousarray(np.squeeze(src, -1) if src.ndim == 4 else src,
+                               dtype=np.float32)
+    n, sh, sw = arr.shape
+    dh, dw = size_hw
+    out = np.empty((n, dh, dw), np.float32)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 4, 16)
+    lib.fi_batch_resize_normalize(arr, n, sh, sw, out, dh, dw,
+                                  1 if minmax else 0, float(mean), float(std), n_threads)
+    return out[..., None]

@@ -42,10 +42,12 @@ class ClassifierDataset:
 
         path = os.path.join(self.root, str(self.df.iloc[i][self.image_col]))
         arr = T.load_image(path, grayscale=True)
-        arr = T.resize(arr, self.size_hw)
         if self.train:
+            arr = T.resize(arr, self.size_hw)
             arr = T.augment_train(arr, self._rng)
-        return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
+            return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
+        # eval path: fused native resize+normalize when available
+        return T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
 
     def label(self, i: int):
         return self.df.iloc[i][self.label_col]
