@@ -31,6 +31,10 @@ def build_parser() -> argparse.ArgumentParser:
                    choices=["soft_wpmi", "wpmi", "rank_reorder", "cos_similarity",
                             "cos_similarity_cubed"])
     p.add_argument("--top_k", type=int, default=100)
+    p.add_argument("--num_top_concepts", type=int, default=10,
+                   help="concepts per neuron in the CSV (reference: 10 for the "
+                        "mammo drivers, 1 for describe_clip_neurons.py)")
+    p.add_argument("--num_top_images", type=int, default=5)
     p.add_argument("--activation_dir", type=str, default="saved_activations")
     p.add_argument("--result_dir", type=str, default="results")
     p.add_argument("--save_prefix", type=str, default="")
@@ -60,6 +64,8 @@ def main(argv=None):
         pool_mode=args.pool_mode,
         similarity_fn=args.similarity_fn,
         top_k=args.top_k,
+        num_top_concepts=args.num_top_concepts,
+        num_top_images=args.num_top_images,
         activation_dir=args.activation_dir,
         result_dir=args.result_dir,
         save_prefix=args.save_prefix,

@@ -32,25 +32,45 @@ class EfficientNetTarget:
         self.variables = variables
         self._jitted = {}
 
-    def _fn(self, capture: tuple, pool_mode: str):
+    def _fn(self, capture: tuple, pool_mode: str, sample_shape: tuple):
         key = (capture, pool_mode)
         if key not in self._jitted:
 
-            @jax.jit
-            def fn(variables, x):
+            def raw(variables, x):
                 _, captured = self.model.apply(
                     variables, x, train=False, capture=capture, pool_mode=pool_mode
                 )
                 return captured
 
-            self._jitted[key] = fn
+            # layer order/widths via abstract eval (no device work)
+            shapes = jax.eval_shape(
+                raw, self.variables, jax.ShapeDtypeStruct(sample_shape, jnp.float32)
+            )
+            names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
+            widths = tuple(int(shapes[k].shape[-1]) for k in names)
+
+            @jax.jit
+            def fn(variables, x):
+                captured = raw(variables, x)
+                # ONE output buffer: each device->host fetch costs ~30ms on the
+                # remote TPU runtime, so 39 separate per-layer fetches would
+                # quadruple harvest wall-clock; concat once, split on host.
+                return jnp.concatenate([captured[k] for k in names], axis=-1)
+
+            self._jitted[key] = (fn, names, widths)
         return self._jitted[key]
 
     def harvest(self, images: np.ndarray, layers: Sequence[str], pool_mode: str = "avg"):
         canon = [canonical_layer_name(l) for l in layers]
         capture = tuple(sorted({layer_index(c) for c in canon}))
-        out = self._fn(capture, pool_mode)(self.variables, jnp.asarray(images))
-        return {k: np.asarray(v) for k, v in out.items()}
+        fn, names, widths = self._fn(capture, pool_mode, tuple(images.shape))
+        packed = np.asarray(fn(self.variables, jnp.asarray(images)))
+        out = {}
+        off = 0
+        for name, w in zip(names, widths):
+            out[name] = packed[:, off : off + w]
+            off += w
+        return out
 
 
 @TARGETS.register("tiny_cnn")
@@ -65,10 +85,12 @@ def _tiny_cnn(seed: int = 0, in_channels: int = 1, **_):
 
 @TARGETS.register("breastclip")
 def _breastclip_encoder(ckpt_path: str | None = None, variant: str = "efficientnet-b5",
-                        image_shape=(1520, 912, 1), seed: int = 0, **_):
+                        image_shape=(1520, 912, 1), seed: int = 0, dtype="bfloat16", **_):
     """The Mammo-CLIP EfficientNet-B5 image encoder (`utils.py:434-446` hardcoded config);
-    loads a converted torch checkpoint when given (`--Breast_clip_chkpt`)."""
-    model = EfficientNetMammo(variant=variant, in_channels=image_shape[-1])
+    loads a converted torch checkpoint when given (`--Breast_clip_chkpt`). Compute dtype
+    bf16 by default (BN stats and captured activations stay fp32)."""
+    model = EfficientNetMammo(variant=variant, in_channels=image_shape[-1],
+                              dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     h, w, c = image_shape
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed), jnp.ones((1, h, w, c), jnp.float32))
     if ckpt_path:

@@ -1,0 +1,81 @@
+"""Label maps, description eval, retrieval dataset, top-1 CLI mode."""
+import numpy as np
+import pytest
+
+from mammodissect.data.labelmaps import (
+    CIFAR100_FINE_TO_COARSE,
+    cifar100_superclass,
+    load_broden_labels,
+    load_class_list,
+)
+from mammodissect.dissect.evalmetrics import (
+    description_cos_similarity,
+    mean_description_similarity,
+)
+
+
+def test_cifar_superclass_table():
+    assert len(CIFAR100_FINE_TO_COARSE) == 100
+    assert set(CIFAR100_FINE_TO_COARSE) == set(range(20))
+    # each superclass has exactly 5 fine classes
+    assert all(CIFAR100_FINE_TO_COARSE.count(c) == 5 for c in range(20))
+    assert cifar100_superclass(0) == 4  # apple -> fruit_and_vegetables
+
+
+def test_broden_and_class_list(tmp_path):
+    p = tmp_path / "label.csv"
+    p.write_text("number,name,category\n1,wall,material\n2,sky,scene\n")
+    labels = load_broden_labels(str(p))
+    assert labels == {1: "wall", 2: "sky"}
+    q = tmp_path / "classes.txt"
+    q.write_text("/a/abbey 0\n/b/beach 1\n")
+    assert load_class_list(str(q)) == ["abbey", "beach"]
+
+
+class FakeEmbedder:
+    def __call__(self, texts):
+        out = np.zeros((len(texts), 4))
+        for i, t in enumerate(texts):
+            out[i, hash(t.split()[-1]) % 4] = 1.0
+        return out
+
+
+def test_description_similarity_identical_is_one():
+    emb = FakeEmbedder()
+    sims = description_cos_similarity(["mass", "dog"], ["mass", "dog"], emb)
+    np.testing.assert_allclose(sims, 1.0)
+    assert mean_description_similarity(["mass"], ["mass"], emb) == pytest.approx(1.0)
+
+
+def test_description_similarity_requires_alignment():
+    with pytest.raises(ValueError):
+        description_cos_similarity(["a"], ["a", "b"], FakeEmbedder())
+
+
+def test_cli_top1_mode(tmp_path):
+    """--num_top_concepts 1 reproduces describe_clip_neurons.py's top-1 CSV shape."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from mammodissect.cli.dissect import main
+
+    concepts = tmp_path / "c.txt"
+    concepts.write_text("a\nb\nc\nd\ne\n")
+    main([
+        "--target_model", "tiny_cnn", "--d_probe", "synthetic",
+        "--target_layers", "blocks.1", "--concept_set", str(concepts),
+        "--clip_model", "random", "--similarity_fn", "cos_similarity",
+        "--num_top_concepts", "1", "--num_top_images", "3",
+        "--result_dir", str(tmp_path / "r"), "--activation_dir", str(tmp_path / "a"),
+        "--probe_kwargs", '{"n": 8, "h": 64, "w": 64, "c": 1}',
+    ])
+    import glob
+
+    import pandas as pd
+
+    csv = glob.glob(str(tmp_path / "r" / "*" / "*.csv"))[0]
+    df = pd.read_csv(csv)
+    import ast
+
+    assert len(ast.literal_eval(df.iloc[0]["description"])) == 1
+    assert len(ast.literal_eval(df.iloc[0]["images"])) == 3
