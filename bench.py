@@ -31,29 +31,35 @@ def main():
 
     import jax
 
+    from mammodissect.data.probes import ArrayProbe
+    from mammodissect.dissect.engine import harvest_probe
     from mammodissect.dissect.targets import get_target_model
     from mammodissect.ops.similarity import soft_wpmi
 
     h, w = 1520, 912
     batch_size = 64
-    n_batches = 4  # timed batches (after warmup)
+    n_images_bench = 256
     n_concepts = 762
     layers = [f"blocks.{i}" for i in range(39)]
 
     target = get_target_model("breastclip", image_shape=(h, w, 1), dtype="bfloat16")
     rng = np.random.default_rng(0)
-    batch = rng.normal(size=(batch_size, h, w, 1)).astype(np.float32)
+    probe = ArrayProbe(
+        rng.integers(0, 256, size=(n_images_bench, h, w, 1), dtype=np.uint8),
+        mean=0.3089279, std=0.25053555,
+    )
 
     # warmup/compile (includes the one-time remote-compile server warmup)
+    warm = ArrayProbe(probe.images[:batch_size], mean=probe.mean, std=probe.std)
     t0 = time.perf_counter()
-    out = target.harvest(batch, layers, "avg")
+    harvest_probe(target, warm, layers, "avg", batch_size)
     compile_s = time.perf_counter() - t0
 
+    # timed: the real engine harvest pipeline (u8 wire + on-device normalize +
+    # double-buffered dispatch)
     t0 = time.perf_counter()
-    for _ in range(n_batches):
-        out = target.harvest(batch, layers, "avg")
+    out, n_images = harvest_probe(target, probe, layers, "avg", batch_size)
     harvest_s = time.perf_counter() - t0
-    n_images = batch_size * n_batches
     harvest_rate = n_images / harvest_s
 
     # scoring stage: widest-layer units (block 38 -> 512 channels) x 762 concepts,

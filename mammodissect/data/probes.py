@@ -49,6 +49,9 @@ class ArrayProbe(Probe):
     images: np.ndarray  # [N, H, W, C] float32
     labels: Optional[np.ndarray] = None
 
+    mean: float = 0.0
+    std: float = 1.0
+
     def __post_init__(self):
         self.image_shape = tuple(self.images.shape[1:])
 
@@ -56,7 +59,19 @@ class ArrayProbe(Probe):
         return len(self.images)
 
     def image(self, i):
-        return self.images[i]
+        img = self.images[i]
+        if img.dtype == np.uint8:
+            # normalized view consistent with the u8 fast path's on-device math
+            x = img.astype(np.float32) / 255.0
+            lo, hi = x.min(), x.max()
+            x = (x - lo) / (hi - lo) if hi > lo else np.zeros_like(x)
+            return (x - self.mean) / self.std
+        return img
+
+    def image_u8(self, i):
+        if self.images.dtype == np.uint8:
+            return self.images[i]
+        raise AttributeError("ArrayProbe holds float images; u8 fast path unavailable")
 
     def label(self, i):
         return None if self.labels is None else self.labels[i]
@@ -162,6 +177,11 @@ class CsvProbe(Probe):
         path = os.path.join(self.root, str(self.df.iloc[i][self.image_col]))
         arr = T.load_image(path, grayscale=True)
         return T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
+
+    def image_u8(self, i):
+        """Resized uint8 image for the on-device-normalization fast path."""
+        path = os.path.join(self.root, str(self.df.iloc[i][self.image_col]))
+        return T.load_image_u8_resized(path, self.size_hw)
 
     def label(self, i):
         return None if self.label_col is None else self.df.iloc[i][self.label_col]

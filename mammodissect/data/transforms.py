@@ -34,6 +34,19 @@ def load_image(path: str, grayscale: bool) -> np.ndarray:
     return arr
 
 
+def load_image_u8_resized(path: str, size_hw: tuple[int, int]) -> np.ndarray:
+    """Read + resize a grayscale image staying in uint8 (cv2/albumentations-style:
+    the reference resizes the uint8 image before float conversion). Output [H, W, 1]
+    uint8 — the wire format for the device-side normalization fast path."""
+    h, w = size_hw
+    with Image.open(path) as im:
+        im = im.convert("L")
+        if im.size != (w, h):
+            im = im.resize((w, h), Image.BILINEAR)
+        arr = np.asarray(im, dtype=np.uint8)
+    return arr[..., None]
+
+
 def resize(arr: np.ndarray, size_hw: tuple[int, int], method: str = "bilinear") -> np.ndarray:
     """Resize HWC float array via PIL (bilinear for mammo pipeline, bicubic for CLIP)."""
     h, w = size_hw

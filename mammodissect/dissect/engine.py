@@ -109,15 +109,10 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
             **cfg.target_kwargs,
         )
         t0 = time.time()
-        acc: Dict[str, list] = {l: [] for l in layers}
-        n_images = 0
-        for batch in iter_batches(probe, cfg.batch_size):
-            captured = target.harvest(batch.images, layers, cfg.pool_mode)
-            for l in layers:
-                acc[l].append(captured[l][: batch.n_valid])
-            n_images += batch.n_valid
+        acc, n_images = harvest_probe(target, probe, layers, cfg.pool_mode,
+                                      cfg.batch_size)
         for l in layers:
-            np.save(target_paths[l], np.concatenate(acc[l], axis=0))
+            np.save(target_paths[l], acc[l])
         log(f"[harvest] {n_images} images x {len(layers)} layers in {time.time()-t0:.1f}s")
     else:
         log("[harvest] all target activations cached, skipping")
@@ -139,6 +134,67 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
         np.save(paths["text"], dissector.embed_texts(words))
         log(f"[clip-txt] embedded {len(words)} concepts")
     return paths
+
+
+def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
+                  pipeline_depth: int = 2):
+    """Harvest pooled activations of `layers` over the whole probe.
+
+    Fast path (probe exposes uint8 images + target supports on-device normalization):
+    uint8 wire format (4x less host->device traffic) and a `pipeline_depth`-deep
+    dispatch queue overlapping upload/compute/fetch — the TPU-native analogue of the
+    reference's DataLoader-worker overlap. Falls back to the float32 per-batch path.
+
+    Returns ({layer: [N, C] float32}, n_images)."""
+    from collections import deque
+
+    use_u8 = (
+        hasattr(target, "harvest_u8_dispatch")
+        and hasattr(probe, "image_u8")
+        and hasattr(probe, "mean")
+    )
+    if use_u8:
+        try:
+            probe.image_u8(0)
+        except Exception:
+            use_u8 = False
+    acc: Dict[str, list] = {l: [] for l in layers}
+    n_images = 0
+
+    if not use_u8:
+        for batch in iter_batches(probe, batch_size):
+            captured = target.harvest(batch.images, layers, pool_mode)
+            for l in captured:
+                acc[canonical_layer_name(l)].append(captured[l][: batch.n_valid])
+            n_images += batch.n_valid
+        return {l: np.concatenate(acc[l], axis=0) for l in layers}, n_images
+
+    pending = deque()
+
+    def drain_one():
+        dev, n_valid, names, widths = pending.popleft()
+        packed = np.asarray(dev)
+        off = 0
+        for name, w in zip(names, widths):
+            acc[name].append(packed[: n_valid, off : off + w])
+            off += w
+
+    n = len(probe)
+    h, w_, c = probe.image_shape
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        u8 = np.zeros((batch_size, h, w_, c), np.uint8)
+        for j, i in enumerate(range(start, stop)):
+            u8[j] = probe.image_u8(i)
+        dev, names, widths = target.harvest_u8_dispatch(
+            u8, layers, pool_mode, probe.mean, probe.std)
+        pending.append((dev, stop - start, names, widths))
+        n_images += stop - start
+        if len(pending) > pipeline_depth:
+            drain_one()
+    while pending:
+        drain_one()
+    return {l: np.concatenate(acc[l], axis=0) for l in layers}, n_images
 
 
 def read_concepts(concept_set: str) -> List[str]:
