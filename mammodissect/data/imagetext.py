@@ -162,6 +162,47 @@ def _aslist_nested(cell):
     return v
 
 
+_SENT_SPLIT = __import__("re").compile(r"(?<=[.!?])\s+|\n+")
+
+
+def segment_report(text: str, min_words: int = 2) -> List[str]:
+    """Split a free-text report into cleaned sentence segments (the capability of
+    `imagetext_zz.py:69-94`'s nltk cleaning, regex-based — no nltk dependency):
+    sentence split, whitespace collapse, drop fragments shorter than `min_words`."""
+    segments = []
+    for seg in _SENT_SPLIT.split(str(text)):
+        seg = " ".join(seg.split()).strip()
+        if len(seg.split()) >= min_words:
+            segments.append(seg)
+    return segments
+
+
+class GroupedImageTextDataset(ImageTextDataset):
+    """(patient, laterality)-grouped variant (`imagetext_zz.py`): one item per group,
+    images sampled from the group's CC+MLO pair, report sentences segmented."""
+
+    def __init__(self, df, group_cols=("patient_id", "laterality"), **kw):
+        groups = []
+        for _, grp in df.groupby(list(group_cols), sort=False):
+            groups.append(grp.iloc[0])  # rows within a group share view columns
+        import pandas as pd
+
+        super().__init__(pd.DataFrame(groups).reset_index(drop=True), **kw)
+
+    def _texts(self, row, views, train):
+        if "REPORT" in row or "report" in row:
+            sentences = []
+            for r in _aslist(row.get("REPORT", row.get("report"))):
+                sentences.extend(segment_report(r))
+            if not sentences:
+                sentences = [""]
+            if train and len(sentences) > 1:
+                pick = self._rng.choice(len(sentences), size=2, replace=True)
+                return sentences[int(pick[0])], sentences[int(pick[1])]
+            return sentences[0], sentences[-1]
+        return super()._texts(row, views, train)
+
+
 @dataclass
 class ContrastiveSentenceDataset:
     """ConVIRT-style: image + one randomly sampled report sentence + label
