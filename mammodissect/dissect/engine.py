@@ -222,6 +222,13 @@ def get_similarity_from_activations(
     kwargs = {}
     if getattr(similarity_fn, "__name__", "") in ("soft_wpmi",):
         kwargs["top_k"] = min(top_k, target_feats.shape[0])
+        # fused Pallas gather+log-reduce on TPU when the staged column block fits VMEM
+        import jax
+
+        from mammodissect.ops.pallas_wpmi import pallas_fits
+
+        if jax.default_backend() == "tpu" and pallas_fits(target_feats.shape[0]):
+            kwargs["use_pallas"] = True
     similarity = np.asarray(similarity_fn(clip_feats, target_feats, **kwargs))
     if return_target_feats:
         return similarity, target_feats
