@@ -55,6 +55,7 @@ class BreastClipModule(nn.Module):
     """Flax module holding both towers + projections + logit_scale."""
 
     image_variant: str = "efficientnet-b5"
+    image_tower: str = "cnn"  # cnn | swin | vit (`model_config["image_encoder"]["model_type"]`)
     in_channels: int = 1
     text_pooling: str = "eos"
     proj_dim: int = 512
@@ -70,9 +71,25 @@ class BreastClipModule(nn.Module):
     dtype: Any = jnp.float32
 
     def setup(self):
-        self.image_encoder = EfficientNetMammo(
-            variant=self.image_variant, in_channels=self.in_channels, dtype=self.dtype
-        )
+        if self.image_tower == "swin":
+            from mammodissect.models.swin import SwinEncoder
+
+            self.image_encoder = SwinEncoder(
+                variant=self.image_variant if self.image_variant.startswith("swin")
+                else "swin-tiny",
+                in_channels=self.in_channels, dtype=self.dtype,
+            )
+        elif self.image_tower == "vit":
+            from mammodissect.models.vit_encoder import ViTImageEncoder
+
+            self.image_encoder = ViTImageEncoder(
+                in_channels=self.in_channels, dtype=self.dtype
+            )
+        else:
+            self.image_encoder = EfficientNetMammo(
+                variant=self.image_variant, in_channels=self.in_channels,
+                dtype=self.dtype,
+            )
         self.text_encoder = BertEncoder(
             vocab_size=self.vocab_size,
             hidden_size=self.bert_hidden,
@@ -92,8 +109,10 @@ class BreastClipModule(nn.Module):
     # ------------------------------------------------------------------ encoders
     def encode_image(self, images, train: bool = False, capture: Sequence[int] = (),
                      pool_mode: str = "avg"):
-        pooled, captured = self.image_encoder(images, train=train, capture=capture,
-                                              pool_mode=pool_mode)
+        feats, captured = self.image_encoder(images, train=train, capture=capture,
+                                             pool_mode=pool_mode)
+        # ViT towers return token sequences; CLS pooling per `model/clip.py:49-52`
+        pooled = feats[:, 0] if feats.ndim == 3 else feats
         if capture:
             return pooled, captured
         return pooled
@@ -162,6 +181,7 @@ class BreastClip:
         ie, te, ph = cfg["image_encoder"], cfg["text_encoder"], cfg.get("projection_head", {})
         module = BreastClipModule(
             image_variant=ie.get("variant", "efficientnet-b5"),
+            image_tower=ie.get("model_type", "cnn"),
             in_channels=ie.get("in_channels", 1),
             text_pooling=te.get("pooling", "eos"),
             proj_dim=ph.get("proj_dim", 512),

@@ -1,0 +1,174 @@
+"""Swin Transformer image encoder in Flax (NHWC, TPU-first).
+
+Covers the reference's Swin option for the BreastClip image tower and classifiers
+(`model/modules/image_encoder.py:14-52` HF 'swin' branch; classifier squeeze/permute
+special-casing at `Classifiers/experiments.py:385-397` — unnecessary here because the
+tower returns pooled features directly).
+
+Swin-T geometry by default: patch 4, embed 96, depths (2,2,6,2), heads (3,6,12,24),
+window 7, shifted windows with attention masks, relative position bias, patch merging.
+All window bookkeeping (masks, relative-position index) is computed with numpy at
+trace time — static shapes, no dynamic control flow in the compiled program.
+
+Capture points: 'layers.i' = output of stage i (4-D [B,H,W,C] pooling rule applies)."""
+from __future__ import annotations
+
+from typing import Any, Dict, Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import linen as nn
+
+from mammodissect.ops.pooling import pool_activation
+
+
+def _rel_pos_index(m: int) -> np.ndarray:
+    coords = np.stack(np.meshgrid(np.arange(m), np.arange(m), indexing="ij"))  # [2,M,M]
+    flat = coords.reshape(2, -1)
+    rel = flat[:, :, None] - flat[:, None, :]  # [2, M2, M2]
+    rel = rel.transpose(1, 2, 0) + (m - 1)
+    return (rel[..., 0] * (2 * m - 1) + rel[..., 1]).astype(np.int32)  # [M2, M2]
+
+
+def _shift_mask(hp: int, wp: int, m: int, shift: int) -> np.ndarray:
+    """Attention mask for shifted windows: [nW, M2, M2] with 0 / -inf."""
+    img = np.zeros((hp, wp), np.int32)
+    cnt = 0
+    slices = (slice(0, -m), slice(-m, -shift), slice(-shift, None))
+    for hs in slices:
+        for ws in slices:
+            img[hs, ws] = cnt
+            cnt += 1
+    win = img.reshape(hp // m, m, wp // m, m).transpose(0, 2, 1, 3).reshape(-1, m * m)
+    mask = (win[:, :, None] != win[:, None, :]).astype(np.float32) * -1e9
+    return mask  # [nW, M2, M2]
+
+
+class WindowAttention(nn.Module):
+    dim: int
+    heads: int
+    window: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, mask=None):
+        """x: [B*nW, M2, C]; mask: [nW, M2, M2] or None."""
+        bnw, m2, c = x.shape
+        qkv = nn.Dense(3 * c, name="qkv", dtype=self.dtype)(x)
+        q, k, v = jnp.split(qkv, 3, axis=-1)
+        dh = c // self.heads
+        split = lambda a: a.reshape(bnw, m2, self.heads, dh)
+        q, k, v = split(q), split(k), split(v)
+        scores = jnp.einsum("bqhd,bkhd->bhqk", q, k) / jnp.sqrt(dh).astype(x.dtype)
+        table = self.param("rel_pos_bias", nn.initializers.normal(0.02),
+                           ((2 * self.window - 1) ** 2, self.heads), jnp.float32)
+        idx = jnp.asarray(_rel_pos_index(self.window))
+        bias = table[idx.reshape(-1)].reshape(m2, m2, self.heads).transpose(2, 0, 1)
+        scores = scores + bias[None].astype(scores.dtype)
+        if mask is not None:
+            n_w = mask.shape[0]
+            scores = scores.reshape(bnw // n_w, n_w, self.heads, m2, m2)
+            scores = scores + mask[None, :, None].astype(scores.dtype)
+            scores = scores.reshape(bnw, self.heads, m2, m2)
+        probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
+        ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(bnw, m2, c)
+        return nn.Dense(c, name="proj", dtype=self.dtype)(ctx)
+
+
+class SwinBlock(nn.Module):
+    dim: int
+    heads: int
+    window: int = 7
+    shift: int = 0
+    mlp_ratio: int = 4
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        m = self.window
+        hp = -(-h // m) * m
+        wp = -(-w // m) * m
+        shortcut = x
+        y = nn.LayerNorm(name="ln1")(x)
+        y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
+        shift = self.shift if min(hp, wp) > m else 0
+        if shift:
+            y = jnp.roll(y, (-shift, -shift), axis=(1, 2))
+            mask = jnp.asarray(_shift_mask(hp, wp, m, shift))
+        else:
+            mask = None
+        # window partition
+        y = y.reshape(b, hp // m, m, wp // m, m, c).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(b * (hp // m) * (wp // m), m * m, c)
+        y = WindowAttention(self.dim, self.heads, m, dtype=self.dtype, name="attn")(
+            y, mask)
+        y = y.reshape(b, hp // m, wp // m, m, m, c).transpose(0, 1, 3, 2, 4, 5)
+        y = y.reshape(b, hp, wp, c)
+        if shift:
+            y = jnp.roll(y, (shift, shift), axis=(1, 2))
+        y = y[:, :h, :w]
+        x = shortcut + y
+        z = nn.LayerNorm(name="ln2")(x)
+        z = nn.Dense(c * self.mlp_ratio, name="mlp_in", dtype=self.dtype)(z)
+        z = jax.nn.gelu(z, approximate=False)
+        z = nn.Dense(c, name="mlp_out", dtype=self.dtype)(z)
+        return x + z
+
+
+class PatchMerging(nn.Module):
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        hp, wp = h - h % 2, w - w % 2
+        x = x[:, :hp, :wp]
+        x = x.reshape(b, hp // 2, 2, wp // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
+        x = x.reshape(b, hp // 2, wp // 2, 4 * c)
+        x = nn.LayerNorm(name="ln")(x)
+        return nn.Dense(2 * c, use_bias=False, name="reduction", dtype=self.dtype)(x)
+
+
+SWIN_SPECS = {
+    "swin-tiny": dict(embed=96, depths=(2, 2, 6, 2), heads=(3, 6, 12, 24)),
+    "swin-small": dict(embed=96, depths=(2, 2, 18, 2), heads=(3, 6, 12, 24)),
+    "swin-base": dict(embed=128, depths=(2, 2, 18, 2), heads=(4, 8, 16, 32)),
+}
+
+
+class SwinEncoder(nn.Module):
+    variant: str = "swin-tiny"
+    patch_size: int = 4
+    window: int = 7
+    in_channels: int = 1
+    dtype: Any = jnp.float32
+
+    @property
+    def out_dim(self) -> int:
+        return SWIN_SPECS[self.variant]["embed"] * 8
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, capture: Sequence[int] = (),
+                 pool_mode: str = "avg"):
+        spec = SWIN_SPECS[self.variant]
+        x = nn.Conv(spec["embed"], (self.patch_size, self.patch_size),
+                    strides=(self.patch_size, self.patch_size), name="patch_embed",
+                    dtype=self.dtype)(x)
+        x = nn.LayerNorm(name="patch_norm")(x)
+        captured: Dict[str, jax.Array] = {}
+        for si, (depth, heads) in enumerate(zip(spec["depths"], spec["heads"])):
+            dim = x.shape[-1]
+            for bi in range(depth):
+                x = SwinBlock(dim, heads, window=self.window,
+                              shift=self.window // 2 if bi % 2 else 0,
+                              dtype=self.dtype, name=f"stage{si}_block{bi}")(x)
+            if si in capture:
+                captured[f"layers.{si}"] = pool_activation(
+                    x.astype(jnp.float32), pool_mode)
+            if si < len(spec["depths"]) - 1:
+                x = PatchMerging(dtype=self.dtype, name=f"merge{si}")(x)
+        x = nn.LayerNorm(name="ln_final")(x)
+        pooled = jnp.mean(x, axis=(1, 2))
+        return pooled, captured

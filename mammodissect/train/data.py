@@ -53,6 +53,25 @@ class ClassifierDataset:
         return self.df.iloc[i][self.label_col]
 
 
+def resample_balanced(df, label_col: str, ratio: float = 1.0, seed: int = 0):
+    """Per-class resampled DataFrame: minority class kept whole, majority downsampled
+    to `ratio` x minority size (the CSAW `cancer_task_single_view_balanced_dataloader`
+    capability, `Datasets/dataset_concepts.py:16-166`)."""
+    rng = np.random.default_rng(seed)
+    labels = df[label_col].astype(int)
+    counts = labels.value_counts()
+    minority = counts.idxmin()
+    n_keep = int(counts.min() * ratio)
+    parts = []
+    for cls, grp in df.groupby(label_col, sort=False):
+        if int(cls) == int(minority) or len(grp) <= n_keep:
+            parts.append(grp)
+        else:
+            parts.append(grp.iloc[rng.permutation(len(grp))[:n_keep]])
+    out = __import__("pandas").concat(parts)
+    return out.iloc[rng.permutation(len(out))].reset_index(drop=True)
+
+
 def class_balanced_weights(labels: np.ndarray, sampler_weights: Optional[dict] = None):
     """Per-sample weights: explicit class->weight map (reference
     `lumi_single_gpu_train_classifier.py:186-192`) or inverse-frequency."""

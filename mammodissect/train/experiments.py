@@ -69,6 +69,7 @@ class FinetuneConfig:
     model_parallel: int = 1
     dtype: str = "bfloat16"
     bn_momentum: float = 0.99  # lower for short fine-tunes so running stats converge
+    train_eval: bool = True  # also eval the train folds per epoch (`experiments.py:200-217`)
     print_freq: int = 50
     log_freq: int = 10
     wandb: bool = False
@@ -251,14 +252,27 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
         tb.add_scalar("valid/iter_loss", val_loss, epoch + 1)
         for k, v in metrics.items():
             tb.add_scalar(f"valid/{cfg.label}/{k}", v, epoch + 1)
-        wb.log({"epoch": epoch + 1, "train_loss": losses.avg, "valid_loss": val_loss, **metrics})
+        train_metrics = {}
+        if cfg.train_eval:
+            # eval-mode pass over the train folds (reference's train_eval_loader +
+            # train_agg metrics, `experiments.py:200-217,229-230,256`)
+            train_eval_ds = mk_ds(train_folds, False)
+            _, tr_predictions = _run_eval(trainer, train_eval_ds, cfg.batch_size,
+                                          label_dtype)
+            train_metrics = {
+                f"train_{k}": v
+                for k, v in _epoch_metrics(cfg, train_folds, tr_predictions).items()
+            }
+        wb.log({"epoch": epoch + 1, "train_loss": losses.avg, "valid_loss": val_loss,
+                **metrics, **train_metrics})
 
         watch = metrics.get("accuracy", metrics.get("auroc", 0.0))
         if not np.isnan(watch) and watch > best_metric:
             best_metric = watch
             save_checkpoint(ckpt_path, trainer.state, epoch, metrics, predictions)
             log(f"epoch {epoch + 1}: new best {watch:.4f} -> {ckpt_path}")
-        log(f"epoch {epoch + 1}: train {losses.avg:.4f} valid {val_loss:.4f} {metrics}")
+        log(f"epoch {epoch + 1}: train {losses.avg:.4f} valid {val_loss:.4f} "
+            f"{metrics} {train_metrics}")
 
     tb.close()
     wb.finish()
