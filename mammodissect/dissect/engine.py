@@ -122,10 +122,30 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
         dissector = dissector or get_dissector(cfg.clip_model, **cfg.dissector_kwargs)
         t0 = time.time()
         feats = []
-        for batch in iter_batches(probe, cfg.batch_size):
-            feats.append(dissector.embed_images(batch.images)[: batch.n_valid])
+        use_u8 = hasattr(dissector, "embed_images_u8") and hasattr(probe, "image_u8")
+        if use_u8:
+            try:
+                probe.image_u8(0)
+            except Exception:
+                use_u8 = False
+        n = len(probe)
+        h, w_, c = probe.image_shape
+        for start in range(0, n, cfg.batch_size):
+            stop = min(start + cfg.batch_size, n)
+            if use_u8:
+                u8 = np.zeros((cfg.batch_size, h, w_, c), np.uint8)
+                for j, i in enumerate(range(start, stop)):
+                    u8[j] = probe.image_u8(i)
+                feats.append(dissector.embed_images_u8(
+                    u8, probe.mean, probe.std)[: stop - start])
+            else:
+                imgs = np.zeros((cfg.batch_size, h, w_, c), np.float32)
+                for j, i in enumerate(range(start, stop)):
+                    imgs[j] = probe.image(i)
+                feats.append(dissector.embed_images(imgs)[: stop - start])
         np.save(paths["clip"], np.concatenate(feats, axis=0))
-        log(f"[clip-img] embedded D_probe in {time.time()-t0:.1f}s")
+        log(f"[clip-img] embedded D_probe in {time.time()-t0:.1f}s"
+            + (" (u8 fast path)" if use_u8 else ""))
 
     # ---- stage 3: concept text features ----
     if not os.path.exists(paths["text"]):

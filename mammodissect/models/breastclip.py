@@ -242,6 +242,27 @@ class BreastClip:
         )
         return np.asarray(fn(self.variables, jnp.asarray(images)))
 
+    def embed_images_u8(self, images_u8, mean: float, std: float) -> np.ndarray:
+        """uint8-wire fast path: flat bytes over the relay, minmax+meanstd on device
+        (same rationale as EfficientNetTarget.harvest_u8_dispatch)."""
+        shape = tuple(images_u8.shape)
+        key = ("embed_img_u8", shape, float(mean), float(std))
+        if key not in self._jit_cache:
+
+            def fn(v, u8_flat):
+                u8 = u8_flat.reshape(shape)
+                x = u8.astype(jnp.float32) / 255.0
+                lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
+                hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+                x = jnp.where(hi > lo, (x - lo) / (hi - lo), 0.0)
+                x = (x - mean) / std
+                feats = self.module.apply(v, x, method=BreastClipModule.encode_image)
+                return self.module.apply(v, feats, method=BreastClipModule.project_image)
+
+            self._jit_cache[key] = jax.jit(fn)
+        flat = np.ascontiguousarray(images_u8).reshape(-1)
+        return np.asarray(self._jit_cache[key](self.variables, jax.device_put(flat)))
+
     def embed_texts(self, texts) -> np.ndarray:
         """Dissector interface: tokenized + eos-pooled + projected + normalized
         (`utils.py:390-414` save_clip_vindr_text_features)."""
