@@ -1,0 +1,92 @@
+"""North-star agreement check (BASELINE.md: >=99% per-neuron top-concept agreement).
+
+Runs the reference's own torch scoring code (imported from the read-only mount at
+/root/reference — an external test oracle, not vendored) against our JAX ops on the
+same matrices and measures per-neuron top-1 concept agreement. Skipped in environments
+without the reference mount."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+REF = "/root/reference/concept_vit"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(REF), reason="reference mount not available"
+)
+
+
+@pytest.fixture(scope="module")
+def ref_similarity():
+    sys.path.insert(0, REF)
+    import importlib
+
+    mod = importlib.import_module("similarity")
+    yield mod
+    sys.path.remove(REF)
+
+
+@pytest.fixture(scope="module")
+def feats():
+    rng = np.random.default_rng(42)
+    # realistic scale: cosine-similarity clip feats in [-1, 1], pooled activations
+    n_img, n_concepts, n_units = 1000, 762, 256
+    img = rng.normal(size=(n_img, 64)).astype(np.float32)
+    txt = rng.normal(size=(n_concepts, 64)).astype(np.float32)
+    img /= np.linalg.norm(img, axis=1, keepdims=True)
+    txt /= np.linalg.norm(txt, axis=1, keepdims=True)
+    clip_feats = img @ txt.T
+    target_feats = np.abs(rng.normal(size=(n_img, n_units))).astype(np.float32)
+    return clip_feats, target_feats
+
+
+def _agreement(ours: np.ndarray, theirs: np.ndarray) -> float:
+    return float((ours.argmax(axis=1) == theirs.argmax(axis=1)).mean())
+
+
+def test_soft_wpmi_top1_agreement(ref_similarity, feats):
+    import torch
+
+    from mammodissect.ops.similarity import soft_wpmi
+
+    clip_feats, target_feats = feats
+    theirs = ref_similarity.soft_wpmi(
+        torch.tensor(clip_feats), torch.tensor(target_feats), device="cpu"
+    ).numpy()
+    ours = np.asarray(soft_wpmi(clip_feats, target_feats, top_k=100))
+    agreement = _agreement(ours, theirs)
+    assert agreement >= 0.99, agreement
+    # values themselves closely match, not just argmax
+    np.testing.assert_allclose(ours, theirs, rtol=5e-3, atol=5e-3)
+
+
+def test_wpmi_top1_agreement(ref_similarity, feats):
+    import torch
+
+    from mammodissect.ops.similarity import wpmi
+
+    clip_feats, target_feats = feats
+    theirs = ref_similarity.wpmi(
+        torch.tensor(clip_feats), torch.tensor(target_feats), device="cpu"
+    ).numpy()
+    ours = np.asarray(wpmi(clip_feats, target_feats))
+    assert _agreement(ours, theirs) >= 0.99
+
+
+def test_cos_similarity_agreement(ref_similarity, feats):
+    import torch
+
+    from mammodissect.ops.similarity import cos_similarity, cos_similarity_cubed
+
+    clip_feats, target_feats = feats
+    theirs = ref_similarity.cos_similarity(
+        torch.tensor(clip_feats), torch.tensor(target_feats), device="cpu"
+    ).numpy()
+    ours = np.asarray(cos_similarity(clip_feats, target_feats))
+    np.testing.assert_allclose(ours, theirs, atol=2e-5)
+
+    theirs3 = ref_similarity.cos_similarity_cubed(
+        torch.tensor(clip_feats), torch.tensor(target_feats), device="cpu"
+    ).numpy()
+    ours3 = np.asarray(cos_similarity_cubed(clip_feats, target_feats))
+    assert _agreement(ours3, theirs3) >= 0.99
