@@ -46,6 +46,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device", type=str, default=None,
                    help="accepted for reference-flag compatibility; ignored (JAX "
                         "selects the TPU/CPU backend)")
+    p.add_argument("--profile", type=str, default=None,
+                   help="write a jax.profiler trace (Perfetto/XProf) to this dir")
+    p.add_argument("--debug_nans", action="store_true",
+                   help="fail loudly at the op producing any NaN (jax_debug_nans)")
     return p
 
 
@@ -74,7 +78,17 @@ def main(argv=None):
         num_class=args.num_class,
         probe_kwargs=json.loads(args.probe_kwargs),
     )
-    df, csv_path = run_dissection(cfg)
+    if args.debug_nans:
+        from mammodissect.utils.profiling import enable_debug_nans
+
+        enable_debug_nans()
+    if args.profile:
+        from mammodissect.utils.profiling import trace
+
+        with trace(args.profile):
+            df, csv_path = run_dissection(cfg)
+    else:
+        df, csv_path = run_dissection(cfg)
     print(f"Dissection done! {len(df)} units described. Results saved to {csv_path}")
     return 0
 

@@ -10,9 +10,13 @@ import os
 _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "mammodissect", "xla")
 
 
-def enable_compilation_cache(cache_dir: str | None = None) -> str:
+def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
+    if jax.default_backend() == "cpu":
+        # CPU compiles are fast and AOT cache entries are machine-feature-pinned
+        # (cross-machine loads warn about possible SIGILL) — not worth caching.
+        return None
     cache_dir = cache_dir or os.environ.get("MAMMODISSECT_XLA_CACHE", _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)
     jax.config.update("jax_compilation_cache_dir", cache_dir)
