@@ -55,7 +55,7 @@ class DataModule:
 
     @staticmethod
     def _takes_split(data_type: str) -> bool:
-        return data_type in ("imagetext", "imagetext_contrastive")
+        return data_type in ("imagetext", "imagetext_zz", "imagetext_contrastive")
 
     def _host_shard(self, n: int) -> np.ndarray:
         """Per-host slice of the index space (replaces DistributedSampler)."""

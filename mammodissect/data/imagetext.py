@@ -238,6 +238,44 @@ class ContrastiveSentenceDataset:
 
 
 @dataclass
+class ImageAlignerDataset:
+    """Paired clip/classifier images + rich metadata passthrough
+    (reference `data/dataset/image_aligner.py:82-114`: age, concept-threshold columns
+    at 0.1/0.15/0.25, CLIP/SCAR/MARK/MOLE bins). Metadata columns are returned as-is
+    in the item dict."""
+
+    df: "pandas.DataFrame"
+    root: str = ""
+    clip_image_col: str = "clip_image_path"
+    clf_image_col: str = "clf_image_path"
+    metadata_cols: tuple = ()
+    size_hw: tuple = (1520, 912)
+    mean: float = T.VINDR_MEAN
+    std: float = T.VINDR_STD
+
+    def __post_init__(self):
+        self.image_shape = (self.size_hw[0], self.size_hw[1], 1)
+        if not self.metadata_cols:
+            skip = {self.clip_image_col, self.clf_image_col}
+            self.metadata_cols = tuple(c for c in self.df.columns if c not in skip)
+
+    def __len__(self):
+        return len(self.df)
+
+    def __getitem__(self, i):
+        row = self.df.iloc[i]
+
+        def load(col):
+            arr = T.load_image(os.path.join(self.root, str(row[col])), grayscale=True)
+            return T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
+
+        item = {"clip_image": load(self.clip_image_col),
+                "clf_image": load(self.clf_image_col)}
+        item.update({c: row[c] for c in self.metadata_cols})
+        return item
+
+
+@dataclass
 class RetrievalDataset:
     """Image + text-label tokens for retrieval eval (`imagetext_retrieval.py`)."""
 
@@ -264,8 +302,10 @@ class RetrievalDataset:
 
 DATASET_TYPES = {
     "imagetext": ImageTextDataset,
+    "imagetext_zz": GroupedImageTextDataset,
     "imagetext_contrastive": ContrastiveSentenceDataset,
     "imagetext_retrieval": RetrievalDataset,
+    "image_aligner": ImageAlignerDataset,
 }
 
 

@@ -125,8 +125,11 @@ class PatchMerging(nn.Module):
         b, h, w, c = x.shape
         hp, wp = h - h % 2, w - w % 2
         x = x[:, :hp, :wp]
-        x = x.reshape(b, hp // 2, 2, wp // 2, 2, c).transpose(0, 1, 3, 2, 4, 5)
-        x = x.reshape(b, hp // 2, wp // 2, 4 * c)
+        # standard Swin 2x2 gather order: (0,0), (1,0), (0,1), (1,1)
+        x = jnp.concatenate(
+            [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
+            axis=-1,
+        )
         x = nn.LayerNorm(name="ln")(x)
         return nn.Dense(2 * c, use_bias=False, name="reduction", dtype=self.dtype)(x)
 
@@ -136,6 +139,79 @@ SWIN_SPECS = {
     "swin-small": dict(embed=96, depths=(2, 2, 18, 2), heads=(3, 6, 12, 24)),
     "swin-base": dict(embed=128, depths=(2, 2, 18, 2), heads=(4, 8, 16, 32)),
 }
+
+
+def swin_torch_to_flax(sd: Dict[str, np.ndarray], prefix: str = "swin."):
+    """HF SwinModel state dict -> our SwinEncoder params (strict=False style).
+    HF names: embeddings.patch_embeddings.projection, encoder.layers.i.blocks.j.*,
+    encoder.layers.i.downsample.{reduction,norm}."""
+    from mammodissect.utils.torch_convert import conv_to_flax, linear_to_flax
+
+    p: Dict = {}
+
+    def put(path, val):
+        node = p
+        for k in path[:-1]:
+            node = node.setdefault(k, {})
+        node[path[-1]] = np.asarray(val)
+
+    def grab(k):
+        return sd.get(prefix + k)
+
+    w = grab("embeddings.patch_embeddings.projection.weight")
+    if w is not None:
+        put(("patch_embed", "kernel"), conv_to_flax(w))
+        put(("patch_embed", "bias"), grab("embeddings.patch_embeddings.projection.bias"))
+    if grab("embeddings.norm.weight") is not None:
+        put(("patch_norm", "scale"), grab("embeddings.norm.weight"))
+        put(("patch_norm", "bias"), grab("embeddings.norm.bias"))
+
+    si = 0
+    while grab(f"encoder.layers.{si}.blocks.0.layernorm_before.weight") is not None:
+        bi = 0
+        while grab(f"encoder.layers.{si}.blocks.{bi}.layernorm_before.weight") is not None:
+            src = f"encoder.layers.{si}.blocks.{bi}."
+            dst = (f"stage{si}_block{bi}",)
+
+            def ln(s, d):
+                put(dst + (d, "scale"), grab(src + s + ".weight"))
+                put(dst + (d, "bias"), grab(src + s + ".bias"))
+
+            ln("layernorm_before", "ln1")
+            ln("layernorm_after", "ln2")
+            q = grab(src + "attention.self.query.weight")
+            k = grab(src + "attention.self.key.weight")
+            v = grab(src + "attention.self.value.weight")
+            if q is not None:
+                put(dst + ("attn", "qkv", "kernel"),
+                    linear_to_flax(np.concatenate([q, k, v], axis=0)))
+                put(dst + ("attn", "qkv", "bias"), np.concatenate([
+                    grab(src + "attention.self.query.bias"),
+                    grab(src + "attention.self.key.bias"),
+                    grab(src + "attention.self.value.bias"),
+                ]))
+            put(dst + ("attn", "rel_pos_bias"),
+                grab(src + "attention.self.relative_position_bias_table"))
+            put(dst + ("attn", "proj", "kernel"),
+                linear_to_flax(grab(src + "attention.output.dense.weight")))
+            put(dst + ("attn", "proj", "bias"), grab(src + "attention.output.dense.bias"))
+            put(dst + ("mlp_in", "kernel"), linear_to_flax(grab(src + "intermediate.dense.weight")))
+            put(dst + ("mlp_in", "bias"), grab(src + "intermediate.dense.bias"))
+            put(dst + ("mlp_out", "kernel"), linear_to_flax(grab(src + "output.dense.weight")))
+            put(dst + ("mlp_out", "bias"), grab(src + "output.dense.bias"))
+            bi += 1
+        red = grab(f"encoder.layers.{si}.downsample.reduction.weight")
+        if red is not None:
+            put((f"merge{si}", "reduction", "kernel"), linear_to_flax(red))
+            put((f"merge{si}", "ln", "scale"),
+                grab(f"encoder.layers.{si}.downsample.norm.weight"))
+            put((f"merge{si}", "ln", "bias"),
+                grab(f"encoder.layers.{si}.downsample.norm.bias"))
+        si += 1
+    if grab("layernorm.weight") is not None:
+        put(("ln_final", "scale"), grab("layernorm.weight"))
+        put(("ln_final", "bias"), grab("layernorm.bias"))
+    return p
 
 
 class SwinEncoder(nn.Module):
