@@ -8,7 +8,7 @@ The reference's dissectors are BreastClip (`concept_vit/utils.py:434-454`) and O
 from __future__ import annotations
 
 import hashlib
-from typing import List, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

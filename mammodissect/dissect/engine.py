@@ -14,7 +14,6 @@ with skip-if-exists memoization (`_all_saved`, `utils.py:648-657`) so interrupte
 resume for free."""
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass, field

@@ -10,8 +10,7 @@ requested layers is ONE jitted forward (the reference already harvests all 39 la
 a single pass via hooks, `utils.py:167-186`; XLA makes it a single compiled program)."""
 from __future__ import annotations
 
-from functools import partial
-from typing import Callable, Dict, Sequence
+from typing import Sequence
 
 import jax
 import jax.numpy as jnp

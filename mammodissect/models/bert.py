@@ -16,7 +16,7 @@ additive mask keeps shapes static; dtype policy via `dtype` (bf16 compute-safe, 
 fp32)."""
 from __future__ import annotations
 
-from typing import Any, Optional
+from typing import Any
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Freezing is done the JAX way: `frozen_param_labels` returns an optax.multi_trans
 label tree ('frozen' vs 'train') instead of requires_grad flags."""
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Sequence
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ Replaces the reference's vendored torch layer zoo (`model/modules/efficient_net_
 from __future__ import annotations
 
 import math
-from typing import Callable, Optional
 
 import jax
 import jax.numpy as jnp

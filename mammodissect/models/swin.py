@@ -13,7 +13,7 @@ trace time — static shapes, no dynamic control flow in the compiled program.
 Capture points: 'layers.i' = output of stage i (4-D [B,H,W,C] pooling rule applies)."""
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -13,7 +13,6 @@ documentation."""
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 
 
 def all_gather_with_grad(x: jax.Array, axis_name: str, tiled: bool = True) -> jax.Array:

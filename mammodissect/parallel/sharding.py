@@ -12,7 +12,7 @@ collectives (scaling-book recipe: pick mesh, annotate, let XLA do the rest)."""
 from __future__ import annotations
 
 import re
-from typing import Any, Dict
+from typing import Dict
 
 import jax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P

@@ -16,10 +16,8 @@ from __future__ import annotations
 from typing import Dict, Optional
 
 import jax
-import jax.numpy as jnp
 import optax
 
-from mammodissect.parallel.mesh import make_mesh
 from mammodissect.parallel.sharding import batch_sharding, param_shardings, replicated
 from mammodissect.train.losses import clip_contrastive_loss
 

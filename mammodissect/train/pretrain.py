@@ -8,8 +8,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-import time
-from dataclasses import dataclass, field
+from dataclasses import dataclass
 from typing import Dict, Optional
 
 import numpy as np

@@ -15,7 +15,7 @@ TPU-native replacement for the reference's DDP train engine
 from __future__ import annotations
 
 import dataclasses
-from typing import Any, Callable, Dict, Optional, Tuple
+from typing import Any, Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 from mammodissect.parallel.mesh import make_mesh
-from mammodissect.parallel.sharding import batch_sharding, param_shardings, replicated
+from mammodissect.parallel.sharding import batch_sharding, replicated
 from mammodissect.train.losses import bce_with_logits, softmax_cross_entropy
 from mammodissect.train.schedule import linear_warmup_cosine_annealing
 

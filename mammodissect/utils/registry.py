@@ -6,7 +6,7 @@ The reference dispatches by ``eval()`` on user strings (similarity fn at
 compatible with static jit tracing."""
 from __future__ import annotations
 
-from typing import Callable, Dict, Generic, Iterator, TypeVar
+from typing import Dict, Generic, Iterator, TypeVar
 
 T = TypeVar("T")
 
