@@ -43,6 +43,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--num_class", type=int, default=1)
     p.add_argument("--probe_kwargs", type=str, default="{}",
                    help="JSON dict forwarded to the probe factory (csv_file, root, ...)")
+    p.add_argument("--target_kwargs", type=str, default="{}",
+                   help="JSON dict forwarded to the target-model factory")
+    p.add_argument("--dissector_kwargs", type=str, default="{}",
+                   help="JSON dict forwarded to the dissector factory")
     p.add_argument("--device", type=str, default=None,
                    help="accepted for reference-flag compatibility; ignored (JAX "
                         "selects the TPU/CPU backend)")
@@ -77,6 +81,8 @@ def main(argv=None):
         finetuned_ckpt=args.finetuned_img_classifier_chkpt,
         num_class=args.num_class,
         probe_kwargs=json.loads(args.probe_kwargs),
+        target_kwargs=json.loads(args.target_kwargs),
+        dissector_kwargs=json.loads(args.dissector_kwargs),
     )
     if args.debug_nans:
         from mammodissect.utils.profiling import enable_debug_nans
