@@ -115,8 +115,11 @@ class TxtListProbe(Probe):
 
     def __init__(self, list_file: str, root: str = "", preprocess=None,
                  image_shape: tuple = (224, 224, 3), grayscale: bool = False):
-        self.preprocess = preprocess or T.imagenet_preprocess
-        self.image_shape = image_shape
+        self.image_shape = tuple(image_shape)
+        if preprocess is None:
+            preprocess = (T.imagenet_preprocess if self.image_shape == (224, 224, 3)
+                          else _default_folder_preprocess(self.image_shape))
+        self.preprocess = preprocess
         self.grayscale = grayscale
         self.entries: List[tuple] = []
         with open(list_file) as f:
@@ -156,10 +159,16 @@ class CsvProbe(Probe):
         size_hw: tuple = T.VINDR_SIZE,
         mean: float = T.VINDR_MEAN,
         std: float = T.VINDR_STD,
+        filters: Optional[dict] = None,
     ):
+        """`filters`: {column: value} row selection — how the reference's EMBED probe
+        family (embed_marker_84 / embed_implant / embed_non_implant...) selects its
+        subsets from the metadata CSV (`concept_vit/data_utils.py:169-251`)."""
         import pandas as pd
 
         df = pd.read_csv(csv_file)
+        for col, val in (filters or {}).items():
+            df = df[df[col] == val].reset_index(drop=True)
         if split_col and split is not None and split_col in df.columns:
             df = df[df[split_col] == split].reset_index(drop=True)
         self.df = df
@@ -242,7 +251,8 @@ def get_probe(spec: str, **kw) -> Probe:
                             image_shape=kw.get("image_shape", (224, 224, 3)))
     if spec.startswith("csv:"):
         return CsvProbe(spec[len("csv:"):], **{k: v for k, v in kw.items() if k in (
-            "image_col", "root", "label_col", "split_col", "split", "size_hw", "mean", "std")})
+            "image_col", "root", "label_col", "split_col", "split", "size_hw", "mean",
+            "std", "filters")})
     if spec in ("vindr", "csaw", "csaw_all_splits", "embed_png", "embed_marker_84",
                 "embed_marker_only", "embed_implant", "embed_non_implant"):
         # reference probe names resolve to CSV probes rooted at a data dir
@@ -252,8 +262,17 @@ def get_probe(spec: str, **kw) -> Probe:
                 f"probe {spec!r} needs csv_file=<metadata csv> (and root=) in this environment"
             )
         split_kw = {"split_col": "split", "split": kw.get("split", "training")} if spec == "csaw" else {}
+        # EMBED subset probes select rows by metadata columns (`data_utils.py:169-251`)
+        embed_filters = {
+            "embed_marker_84": {"Marker": 1},
+            "embed_marker_only": {"Marker": 1},
+            "embed_implant": {"Implant_type": 1},
+            "embed_non_implant": {"Implant_type": 0},
+        }
+        filters = kw.get("filters", embed_filters.get(spec))
         return CsvProbe(csv_file, root=kw.get("root", ""),
-                        image_col=kw.get("image_col", "image_path"), **split_kw)
+                        image_col=kw.get("image_col", "image_path"),
+                        filters=filters, **split_kw)
     if spec.startswith("cifar100"):
         return _cifar_probe(spec, **kw)
     raise KeyError(f"unknown probe spec {spec!r}")

@@ -308,7 +308,7 @@ def _register():
         if name not in TARGETS:
             TARGETS.register(name, lambda name=name, **kw: OpenAIClip(
                 name if name != "clip" else "ViT-B/16",
-                **{k: v for k, v in kw.items() if k not in ("ckpt_path", "finetuned_ckpt", "num_class")}))
+                **{k: v for k, v in kw.items() if k not in ("finetuned_ckpt", "num_class")}))
 
 
 _register()
