@@ -177,6 +177,29 @@ VIT_CONFIGS = {
 }
 
 
+def clip_config_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
+    """Infer ClipModule geometry from an OpenAI CLIP state dict — the capability of
+    the reference's `build_model(state_dict)` (`concept_vit/clip/model.py:410-447`)."""
+    cfg: Dict = {}
+    if "visual.conv1.weight" in sd:
+        w = sd["visual.conv1.weight"]  # [width, 3, patch, patch]
+        cfg["vision_width"] = int(w.shape[0])
+        cfg["patch_size"] = int(w.shape[-1])
+        cfg["vision_layers"] = len({k.split(".")[3] for k in sd
+                                    if k.startswith("visual.transformer.resblocks.")})
+        cfg["vision_heads"] = cfg["vision_width"] // 64
+        grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
+        cfg["image_size"] = grid * cfg["patch_size"]
+        cfg["embed_dim"] = int(sd["visual.proj"].shape[1])
+    cfg["text_width"] = int(sd["ln_final.weight"].shape[0])
+    cfg["text_layers"] = len({k.split(".")[2] for k in sd
+                              if k.startswith("transformer.resblocks.")})
+    cfg["text_heads"] = cfg["text_width"] // 64
+    cfg["vocab_size"] = int(sd["token_embedding.weight"].shape[0])
+    cfg["context_length"] = int(sd["positional_embedding"].shape[0])
+    return cfg
+
+
 def clip_torch_to_flax(sd: Dict[str, np.ndarray]):
     """Map the OpenAI CLIP state dict onto ClipModule params (strict=False style)."""
     from mammodissect.utils.torch_convert import conv_to_flax, linear_to_flax
@@ -233,6 +256,16 @@ class OpenAIClip:
     def __init__(self, name: str = "ViT-B/16", tokenizer=None, seed: int = 0,
                  ckpt_path: Optional[str] = None, dtype=jnp.float32, **overrides):
         cfg = dict(VIT_CONFIGS.get(name, VIT_CONFIGS["ViT-B/16"]))
+        if ckpt_path:
+            # geometry comes from the checkpoint itself (build_model parity)
+            import torch
+
+            sd_probe = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+            if hasattr(sd_probe, "state_dict"):
+                sd_probe = sd_probe.state_dict()
+            sd_np = {k: v.detach().cpu().numpy() for k, v in sd_probe.items()
+                     if hasattr(v, "detach")}
+            cfg.update(clip_config_from_state_dict(sd_np))
         cfg.update(overrides)
         self.module = ClipModule(dtype=dtype, **cfg)
         self.tokenizer = tokenizer
