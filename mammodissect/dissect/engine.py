@@ -97,8 +97,42 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
         paths["text"] = x
     paths.update({f"target:{k}": v for k, v in target_paths.items()})
 
-    # ---- stage 1: target activation harvest (one jitted forward for ALL layers) ----
+    # ---- fused M-dissect fast path: target IS the dissector's image tower ----
+    # (`describe_broad_neurons.py` dissecting the same BreastClip's `_blocks`): one
+    # forward per batch produces activations AND probe embeddings — half the compute
+    # and half the host->device traffic of the two separate stages.
     missing_layers = [l for l in layers if not os.path.exists(target_paths[l])]
+    clip_missing = not os.path.exists(paths["clip"])
+    if (
+        (missing_layers or clip_missing)
+        and cfg.target_model.startswith("breastclip")
+        and cfg.clip_model.startswith("breastclip")
+        and not cfg.finetuned_ckpt
+        and target is None
+        and hasattr(probe, "image_u8")
+        and hasattr(probe, "mean")
+    ):
+        try:
+            probe.image_u8(0)
+            can_fuse = True
+        except Exception:
+            can_fuse = False
+        if can_fuse:
+            dk = dict(cfg.dissector_kwargs)
+            dk.setdefault("ckpt_path", cfg.breast_clip_ckpt)
+            dissector = dissector or get_dissector(cfg.clip_model, **dk)
+            if hasattr(dissector, "harvest_and_embed_u8_dispatch"):
+                t0 = time.time()
+                acc, embs, n_images = _fused_harvest_embed(
+                    dissector, probe, layers, cfg.pool_mode, cfg.batch_size)
+                for l in layers:
+                    np.save(target_paths[l], acc[l])
+                np.save(paths["clip"], embs)
+                missing_layers, clip_missing = [], False
+                log(f"[fused] harvested {len(layers)} layers + embedded {n_images} "
+                    f"images in one pass, {time.time()-t0:.1f}s")
+
+    # ---- stage 1: target activation harvest (one jitted forward for ALL layers) ----
     if missing_layers:
         target = target or get_target_model(
             cfg.target_model,
@@ -116,9 +150,16 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
     else:
         log("[harvest] all target activations cached, skipping")
 
+    def _make_dissector():
+        dk = dict(cfg.dissector_kwargs)
+        if cfg.clip_model.startswith("breastclip"):
+            # the dissector loads the same Mammo-CLIP checkpoint (`utils.py:451-454`)
+            dk.setdefault("ckpt_path", cfg.breast_clip_ckpt)
+        return get_dissector(cfg.clip_model, **dk)
+
     # ---- stage 2: dissector image features ----
-    if not os.path.exists(paths["clip"]):
-        dissector = dissector or get_dissector(cfg.clip_model, **cfg.dissector_kwargs)
+    if clip_missing and not os.path.exists(paths["clip"]):
+        dissector = dissector or _make_dissector()
         t0 = time.time()
         feats = []
         use_u8 = hasattr(dissector, "embed_images_u8") and hasattr(probe, "image_u8")
@@ -148,7 +189,7 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
 
     # ---- stage 3: concept text features ----
     if not os.path.exists(paths["text"]):
-        dissector = dissector or get_dissector(cfg.clip_model, **cfg.dissector_kwargs)
+        dissector = dissector or _make_dissector()
         words = read_concepts(cfg.concept_set)
         np.save(paths["text"], dissector.embed_texts(words))
         log(f"[clip-txt] embedded {len(words)} concepts")
@@ -214,6 +255,44 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
     while pending:
         drain_one()
     return {l: np.concatenate(acc[l], axis=0) for l in layers}, n_images
+
+
+def _fused_harvest_embed(dissector, probe, layers, pool_mode: str, batch_size: int,
+                         pipeline_depth: int = 2):
+    """Double-buffered fused harvest+embed loop (see save_activations fused path)."""
+    from collections import deque
+
+    acc: Dict[str, list] = {l: [] for l in layers}
+    emb_acc: list = []
+    pending = deque()
+
+    def drain_one():
+        packed_dev, emb_dev, n_valid, names, widths = pending.popleft()
+        packed = np.asarray(packed_dev)
+        emb_acc.append(np.asarray(emb_dev)[:n_valid])
+        off = 0
+        for name, w in zip(names, widths):
+            acc[name].append(packed[:n_valid, off : off + w])
+            off += w
+
+    n = len(probe)
+    h, w_, c = probe.image_shape
+    n_images = 0
+    for start in range(0, n, batch_size):
+        stop = min(start + batch_size, n)
+        u8 = np.zeros((batch_size, h, w_, c), np.uint8)
+        for j, i in enumerate(range(start, stop)):
+            u8[j] = probe.image_u8(i)
+        packed_dev, emb_dev, names, widths = dissector.harvest_and_embed_u8_dispatch(
+            u8, layers, pool_mode, probe.mean, probe.std)
+        pending.append((packed_dev, emb_dev, stop - start, names, widths))
+        n_images += stop - start
+        if len(pending) > pipeline_depth:
+            drain_one()
+    while pending:
+        drain_one()
+    return ({l: np.concatenate(acc[l], axis=0) for l in layers},
+            np.concatenate(emb_acc, axis=0), n_images)
 
 
 def read_concepts(concept_set: str) -> List[str]:

@@ -263,6 +263,52 @@ class BreastClip:
         flat = np.ascontiguousarray(images_u8).reshape(-1)
         return np.asarray(self._jit_cache[key](self.variables, jax.device_put(flat)))
 
+    def harvest_and_embed_u8_dispatch(self, images_u8, layers, pool_mode: str,
+                                      mean: float, std: float):
+        """Fused M-dissect fast path: when the dissection target IS this model's image
+        tower (the M-Mammo-CLIP case — `describe_broad_neurons.py` dissecting
+        `image_encoder._blocks` of the same BreastClip), ONE forward yields both the
+        pooled per-block activations and the projected probe embedding: half the
+        compute and half the host->device traffic of running the two stages separately.
+        Returns (device_packed_activations, device_embeddings, names, widths)."""
+        from mammodissect.dissect.capture import canonical_layer_name, layer_index
+
+        canon = [canonical_layer_name(l) for l in layers]
+        capture = tuple(sorted({layer_index(c) for c in canon}))
+        shape = tuple(images_u8.shape)
+        key = ("harvest_embed_u8", capture, pool_mode, shape, float(mean), float(std))
+        if key not in self._jit_cache:
+
+            def raw(v, u8_flat):
+                u8 = u8_flat.reshape(shape)
+                x = u8.astype(jnp.float32) / 255.0
+                lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
+                hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+                x = jnp.where(hi > lo, (x - lo) / (hi - lo), 0.0)
+                x = (x - mean) / std
+                pooled, captured = self.module.apply(
+                    v, x, train=False, capture=capture, pool_mode=pool_mode,
+                    method=BreastClipModule.encode_image,
+                )
+                emb = self.module.apply(v, pooled, method=BreastClipModule.project_image)
+                return captured, emb
+
+            flat_spec = jax.ShapeDtypeStruct((int(np.prod(shape)),), jnp.uint8)
+            shapes, _ = jax.eval_shape(raw, self.variables, flat_spec)
+            names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
+            widths = tuple(int(shapes[k].shape[-1]) for k in names)
+
+            @jax.jit
+            def fn(v, u8_flat):
+                captured, emb = raw(v, u8_flat)
+                return jnp.concatenate([captured[k] for k in names], axis=-1), emb
+
+            self._jit_cache[key] = (fn, names, widths)
+        fn, names, widths = self._jit_cache[key]
+        flat = np.ascontiguousarray(images_u8).reshape(-1)
+        packed, emb = fn(self.variables, jax.device_put(flat))
+        return packed, emb, names, widths
+
     def embed_texts(self, texts) -> np.ndarray:
         """Dissector interface: tokenized + eos-pooled + projected + normalized
         (`utils.py:390-414` save_clip_vindr_text_features)."""
