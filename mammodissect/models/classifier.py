@@ -28,12 +28,13 @@ class BreastClipClassifierModule(nn.Module):
     n_class: int = 1
     freeze_encoder: bool = False  # True for '*_lp' linear-probe archs
     bn_momentum: float = 0.99
+    remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.image_encoder = EfficientNetMammo(
             variant=self.variant, in_channels=self.in_channels,
-            bn_momentum=self.bn_momentum, dtype=self.dtype,
+            bn_momentum=self.bn_momentum, remat=self.remat, dtype=self.dtype,
         )
         self.classifier = LinearClassifier(self.n_class, dtype=self.dtype)
 

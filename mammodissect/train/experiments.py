@@ -69,6 +69,7 @@ class FinetuneConfig:
     model_parallel: int = 1
     dtype: str = "bfloat16"
     bn_momentum: float = 0.99  # lower for short fine-tunes so running stats converge
+    remat: bool = False  # rematerialize conv blocks: bigger batches at 1520x912
     train_eval: bool = True  # also eval the train folds per epoch (`experiments.py:200-217`)
     print_freq: int = 50
     log_freq: int = 10
@@ -129,6 +130,7 @@ def build_model(cfg: FinetuneConfig):
         n_class=cfg.n_class,
         freeze_encoder=arch_is_linear_probe(cfg.arch),
         bn_momentum=cfg.bn_momentum,
+        remat=cfg.remat,
         dtype=jnp.bfloat16 if cfg.dtype == "bfloat16" else jnp.float32,
     )
     h, w = cfg.img_size
