@@ -22,12 +22,15 @@ def _checkpointer():
 def save_checkpoint(path: str, trainer_state, epoch: int, metrics: Dict[str, float],
                     predictions: Optional[np.ndarray] = None):
     import jax
+    from flax import serialization
 
     path = os.path.abspath(path)
     payload = {
         "params": jax.device_get(trainer_state.params),
         "batch_stats": jax.device_get(trainer_state.batch_stats),
-        "opt_state": jax.device_get(trainer_state.opt_state),
+        # to_state_dict: plain-dict form that from_state_dict can rebuild into the
+        # optax NamedTuple structure on resume
+        "opt_state": serialization.to_state_dict(jax.device_get(trainer_state.opt_state)),
         "step": np.asarray(trainer_state.step),
         "epoch": np.asarray(epoch),
         "metrics": {k: np.asarray(v) for k, v in metrics.items()},
@@ -38,8 +41,20 @@ def save_checkpoint(path: str, trainer_state, epoch: int, metrics: Dict[str, flo
     return path
 
 
-def load_checkpoint(path: str) -> Dict[str, Any]:
-    return _checkpointer().restore(os.path.abspath(path))
+def load_checkpoint(path: str, template: Optional[Dict] = None) -> Dict[str, Any]:
+    """Restore; pass `template` (a matching pytree, e.g. the live trainer payload) to
+    recover original container types (optax NamedTuple opt_states restore as plain
+    dicts otherwise)."""
+    ckptr = _checkpointer()
+    path = os.path.abspath(path)
+    if template is not None:
+        try:
+            return ckptr.restore(path, item=template)
+        except TypeError:  # newer orbax arg spelling
+            import orbax.checkpoint as ocp
+
+            return ckptr.restore(path, args=ocp.args.PyTreeRestore(item=template))
+    return ckptr.restore(path)
 
 
 def load_for_eval(path: str) -> Dict[str, Any]:

@@ -70,6 +70,7 @@ class FinetuneConfig:
     dtype: str = "bfloat16"
     bn_momentum: float = 0.99  # lower for short fine-tunes so running stats converge
     remat: bool = False  # rematerialize conv blocks: bigger batches at 1520x912
+    resume_from: Optional[str] = None  # checkpoint path: restore params+opt_state+epoch
     train_eval: bool = True  # also eval the train folds per epoch (`experiments.py:200-217`)
     print_freq: int = 50
     log_freq: int = 10
@@ -215,6 +216,15 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
     trainer = Trainer(module, variables, tx,
                       loss_kind="ce" if cfg.multiclass else "bce",
                       pos_weight=pos_weight, mesh=mesh, seed=cfg.seed)
+    start_epoch = 0
+    if cfg.resume_from:
+        from mammodissect.train.checkpoints import load_checkpoint
+
+        ckpt = load_checkpoint(cfg.resume_from)
+        trainer.restore(ckpt)
+        start_epoch = int(ckpt.get("epoch", -1)) + 1
+        log(f"[resume] restored step {trainer.state.step}, continuing at epoch "
+            f"{start_epoch}")
 
     tb = MasterOnlyWriter(os.path.join(cfg.tensorboard_path, f"fold{cfg.cur_fold}"))
     wb = WandbLogger("MammoCLIP_classifier_finetune", enabled=cfg.wandb,
@@ -233,8 +243,8 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
     )
     best_metric = -np.inf
     start = time.time()
-    step = 0
-    for epoch in range(cfg.epochs):
+    step = trainer.state.step
+    for epoch in range(start_epoch, cfg.epochs):
         losses = AverageMeter()
         for batch in iter_epoch(train_ds, cfg.batch_size, shuffle=True,
                                 seed=cfg.seed + epoch, balanced_weights=balanced,

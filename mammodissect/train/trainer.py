@@ -164,3 +164,25 @@ class Trainer:
     @property
     def variables(self) -> Dict:
         return {"params": self.state.params, "batch_stats": self.state.batch_stats}
+
+    def restore(self, ckpt: Dict):
+        """Resume from a train.checkpoints payload (params + batch_stats + opt_state
+        + step) — full mid-run resumability, which the reference's best-metric-only
+        torch.save never had (`experiments.py:243-276`)."""
+        from flax import serialization
+
+        rep = replicated(self.mesh)
+        put = lambda t: jax.tree_util.tree_map(
+            lambda x: jax.device_put(jnp.array(np.asarray(x), copy=True), rep), t
+        )
+        # from_state_dict recovers container types (optax NamedTuple opt_states
+        # deserialize as plain dicts from orbax)
+        opt_state = serialization.from_state_dict(
+            jax.device_get(self.state.opt_state), ckpt["opt_state"]
+        )
+        self.state = TrainerState(
+            params=put(ckpt["params"]),
+            batch_stats=put(ckpt.get("batch_stats", {})),
+            opt_state=put(opt_state),
+            step=int(ckpt.get("step", 0)),
+        )
