@@ -56,6 +56,8 @@ def build_parser():
     p.add_argument("--inference-mode", dest="inference_mode", default="n",
                    choices=["n", "y", "load", "train_un_mammopretrained"])
     p.add_argument("--finetuned-ckpt-path", dest="finetuned_ckpt_path", default=None)
+    p.add_argument("--resume-from", dest="resume_from", default=None,
+                   help="checkpoint dir to resume training from (params+opt_state+epoch)")
     p.add_argument("--model-parallel", dest="model_parallel", type=int, default=1)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
     p.add_argument("--bn-momentum", dest="bn_momentum", type=float, default=0.99,
@@ -103,6 +105,7 @@ def main(argv=None):
         running_interactive=args.running_interactive,
         inference_mode=args.inference_mode,
         finetuned_ckpt_path=args.finetuned_ckpt_path,
+        resume_from=args.resume_from,
         model_parallel=args.model_parallel,
         dtype=args.dtype,
         bn_momentum=args.bn_momentum,

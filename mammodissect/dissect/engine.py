@@ -196,6 +196,39 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
     return paths
 
 
+def _prefetch_u8_batches(probe, batch_size: int, depth: int = 2):
+    """Background-thread u8 batch assembly: image decode+resize (host) overlaps the
+    previous batch's device work — the TPU-side analogue of DataLoader workers."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    n = len(probe)
+    h, w_, c = probe.image_shape
+
+    def producer():
+        try:
+            for start in range(0, n, batch_size):
+                stop = min(start + batch_size, n)
+                u8 = np.zeros((batch_size, h, w_, c), np.uint8)
+                for j, i in enumerate(range(start, stop)):
+                    u8[j] = probe.image_u8(i)
+                q.put((u8, stop - start))
+        except Exception as e:  # surface loader errors to the consumer
+            q.put(e)
+            return
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
 def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
                   pipeline_depth: int = 2):
     """Harvest pooled activations of `layers` over the whole probe.
@@ -239,17 +272,11 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
             acc[name].append(packed[: n_valid, off : off + w])
             off += w
 
-    n = len(probe)
-    h, w_, c = probe.image_shape
-    for start in range(0, n, batch_size):
-        stop = min(start + batch_size, n)
-        u8 = np.zeros((batch_size, h, w_, c), np.uint8)
-        for j, i in enumerate(range(start, stop)):
-            u8[j] = probe.image_u8(i)
+    for u8, n_valid in _prefetch_u8_batches(probe, batch_size):
         dev, names, widths = target.harvest_u8_dispatch(
             u8, layers, pool_mode, probe.mean, probe.std)
-        pending.append((dev, stop - start, names, widths))
-        n_images += stop - start
+        pending.append((dev, n_valid, names, widths))
+        n_images += n_valid
         if len(pending) > pipeline_depth:
             drain_one()
     while pending:
@@ -275,18 +302,12 @@ def _fused_harvest_embed(dissector, probe, layers, pool_mode: str, batch_size: i
             acc[name].append(packed[:n_valid, off : off + w])
             off += w
 
-    n = len(probe)
-    h, w_, c = probe.image_shape
     n_images = 0
-    for start in range(0, n, batch_size):
-        stop = min(start + batch_size, n)
-        u8 = np.zeros((batch_size, h, w_, c), np.uint8)
-        for j, i in enumerate(range(start, stop)):
-            u8[j] = probe.image_u8(i)
+    for u8, n_valid in _prefetch_u8_batches(probe, batch_size):
         packed_dev, emb_dev, names, widths = dissector.harvest_and_embed_u8_dispatch(
             u8, layers, pool_mode, probe.mean, probe.std)
-        pending.append((packed_dev, emb_dev, stop - start, names, widths))
-        n_images += stop - start
+        pending.append((packed_dev, emb_dev, n_valid, names, widths))
+        n_images += n_valid
         if len(pending) > pipeline_depth:
             drain_one()
     while pending:
