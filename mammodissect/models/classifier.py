@@ -82,6 +82,8 @@ def arch_variant(arch: str) -> str:
     an EfficientNet variant (any bN tag is recognized; default b5)."""
     import re
 
+    if "efficientnetv2" in arch or "_v2" in arch:
+        return "efficientnetv2-s"
     m = re.search(r"_b([0-7])(_|$)", arch)
     if m:
         return f"efficientnet-b{m.group(1)}"

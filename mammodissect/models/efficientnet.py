@@ -45,6 +45,7 @@ class BlockArgs:
     output_filters: int
     se_ratio: float
     id_skip: bool = True
+    fused: bool = False  # EfficientNetV2 fused-MBConv
 
 
 BASE_BLOCK_ARGS: Tuple[BlockArgs, ...] = (
@@ -71,6 +72,16 @@ EFFICIENTNET_PARAMS: Dict[str, Tuple[float, float, int, float]] = {
 }
 
 
+def v2_block_args() -> Tuple[BlockArgs, ...]:
+    """Flat EfficientNetV2-S block list (no width/depth scaling)."""
+    out = []
+    for (r, k, s, e, i, o, se, fused) in V2_S_BLOCK_ARGS:
+        out.append(BlockArgs(1, k, s, e, i, o, se, fused=fused))
+        for _ in range(r - 1):
+            out.append(BlockArgs(1, k, 1, e, o, o, se, fused=fused))
+    return tuple(out)
+
+
 def expand_block_args(
     width_coefficient: float, depth_coefficient: float
 ) -> Tuple[BlockArgs, ...]:
@@ -90,6 +101,59 @@ def expand_block_args(
                 )
             )
     return tuple(out)
+
+
+# EfficientNetV2-S stage spec (fused-MBConv early stages, MBConv+SE later) — covers
+# the reference's 'efficientnetv2-s'/'efficientnetv2-detect' encoder option
+# (`model/modules/__init__.py:35-40`, arch strings in `Classifiers/`).
+# fields: (num_repeat, kernel, stride, expand, in, out, se_ratio, fused)
+V2_S_BLOCK_ARGS: Tuple[Tuple, ...] = (
+    (2, 3, 1, 1, 24, 24, 0.0, True),
+    (4, 3, 2, 4, 24, 48, 0.0, True),
+    (4, 3, 2, 4, 48, 64, 0.0, True),
+    (6, 3, 2, 4, 64, 128, 0.25, False),
+    (9, 3, 1, 6, 128, 160, 0.25, False),
+    (15, 3, 2, 6, 160, 256, 0.25, False),
+)
+
+
+class FusedMBConvBlock(nn.Module):
+    """Fused-MBConv (EfficientNetV2): expand 3x3 conv replaces expand-1x1+depthwise."""
+
+    args: "BlockArgs"
+    bn_momentum: float = 0.99
+    bn_eps: float = 1e-3
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, train: bool = False, drop_rate: float = 0.0):
+        ba = self.args
+        inp = x
+        c_in = x.shape[-1]
+        c_exp = c_in * ba.expand_ratio
+
+        def bn(name):
+            return nn.BatchNorm(use_running_average=not train, momentum=self.bn_momentum,
+                                epsilon=self.bn_eps, name=name, dtype=self.dtype)
+
+        if ba.expand_ratio != 1:
+            x = nn.Conv(c_exp, (ba.kernel_size, ba.kernel_size),
+                        strides=(ba.stride, ba.stride), padding="SAME", use_bias=False,
+                        name="expand_conv", dtype=self.dtype)(x)
+            x = jax.nn.silu(bn("bn0")(x))
+            x = nn.Conv(ba.output_filters, (1, 1), use_bias=False, name="project_conv",
+                        dtype=self.dtype)(x)
+            x = bn("bn2")(x)
+        else:
+            x = nn.Conv(ba.output_filters, (ba.kernel_size, ba.kernel_size),
+                        strides=(ba.stride, ba.stride), padding="SAME", use_bias=False,
+                        name="project_conv", dtype=self.dtype)(x)
+            x = jax.nn.silu(bn("bn2")(x))
+
+        if ba.id_skip and ba.stride == 1 and c_in == ba.output_filters:
+            rng = self.make_rng("dropout") if (train and drop_rate > 0.0) else None
+            x = drop_connect(x, drop_rate, deterministic=not train, rng=rng) + inp
+        return x
 
 
 class MBConvBlock(nn.Module):
@@ -170,12 +234,20 @@ class EfficientNet(nn.Module):
     dtype: Any = jnp.float32
 
     @property
+    def is_v2(self) -> bool:
+        return self.variant.startswith("efficientnetv2")
+
+    @property
     def block_args(self) -> Tuple[BlockArgs, ...]:
+        if self.is_v2:
+            return v2_block_args()
         w, d, _, _ = EFFICIENTNET_PARAMS[self.variant]
         return expand_block_args(w, d)
 
     @property
     def out_dim(self) -> int:
+        if self.is_v2:
+            return 1280
         w, _, _, _ = EFFICIENTNET_PARAMS[self.variant]
         return round_filters(1280, w)
 
@@ -187,7 +259,7 @@ class EfficientNet(nn.Module):
         capture: Sequence[int] = (),
         pool_mode: str = "avg",
     ):
-        w, d, _, _ = EFFICIENTNET_PARAMS[self.variant]
+        stem_filters = 24 if self.is_v2 else round_filters(32, EFFICIENTNET_PARAMS[self.variant][0])
         blocks = self.block_args
         captured: Dict[str, jax.Array] = {}
 
@@ -201,7 +273,7 @@ class EfficientNet(nn.Module):
             )
 
         x = nn.Conv(
-            round_filters(32, w),
+            stem_filters,
             (3, 3),
             strides=(2, 2),
             padding="SAME",
@@ -213,8 +285,10 @@ class EfficientNet(nn.Module):
 
         n_blocks = len(blocks)
         # static_argnums count self as 0: train=2, drop_rate=3 (both python scalars)
-        block_cls = nn.remat(MBConvBlock, static_argnums=(2, 3)) if self.remat else MBConvBlock
         for i, ba in enumerate(blocks):
+            base_cls = FusedMBConvBlock if ba.fused else MBConvBlock
+            block_cls = (nn.remat(base_cls, static_argnums=(2, 3))
+                         if self.remat else base_cls)
             drop_rate = self.drop_connect_rate * i / n_blocks
             x = block_cls(
                 ba,

@@ -73,6 +73,21 @@ def test_mammo_encoder_pooled_dim():
     assert "blocks.1" in captured
 
 
+def test_v2_s_variant():
+    from mammodissect.models.efficientnet import v2_block_args
+
+    blocks = v2_block_args()
+    assert len(blocks) == 40
+    assert blocks[0].fused and not blocks[-1].fused
+    model = EfficientNet(variant="efficientnetv2-s", in_channels=1)
+    assert model.out_dim == 1280
+    x = jnp.ones((1, 64, 64, 1), jnp.float32)
+    variables = jax.jit(model.init)(jax.random.PRNGKey(0), x)
+    feats, cap = model.apply(variables, x, capture=(2, 39))
+    assert feats.shape == (1, 2, 2, 1280)
+    assert cap["blocks.39"].shape == (1, 256)
+
+
 def test_odd_input_sizes_supported():
     """1520x912-style non-square inputs must trace with static shapes; use a small
     odd-sized stand-in to keep CI fast."""
