@@ -29,3 +29,20 @@ def seed_all(seed: int = 10):
 
 # alias matching `util/utils.py` in the reference
 seed_everything = seed_all
+
+
+def convert_dictconfig_to_dict(cfg):
+    """Recursively convert an omegaconf DictConfig (or any mapping) to plain dicts
+    (`util/utils.py` parity); works without omegaconf installed."""
+    try:
+        from omegaconf import OmegaConf
+
+        if OmegaConf.is_config(cfg):
+            return OmegaConf.to_container(cfg, resolve=True)
+    except ImportError:
+        pass
+    if isinstance(cfg, dict):
+        return {k: convert_dictconfig_to_dict(v) for k, v in cfg.items()}
+    if isinstance(cfg, (list, tuple)):
+        return type(cfg)(convert_dictconfig_to_dict(v) for v in cfg)
+    return cfg
