@@ -348,6 +348,9 @@ def get_similarity_from_activations(
 
         if jax.default_backend() == "tpu" and pallas_fits(target_feats.shape[0]):
             kwargs["use_pallas"] = True
+    # NOTE: unit-count bucketing (pad U to few sizes to cut per-width recompiles) is
+    # deliberately NOT done: soft_wpmi's log p(d) is a logsumexp over units, so padded
+    # units would shift every score and break exact reference agreement.
     similarity = np.asarray(similarity_fn(clip_feats, target_feats, **kwargs))
     if return_target_feats:
         return similarity, target_feats

@@ -133,14 +133,87 @@ class ModifiedResNet(nn.Module):
         return emb, captured
 
 
+def modified_resnet_torch_to_flax(sd: Dict[str, np.ndarray], prefix: str = "visual."):
+    """OpenAI CLIP visual-RN state dict -> our ModifiedResNet params/batch_stats
+    (conv1-3/bn1-3 stem, layerN.M bottlenecks with avgpool downsample at
+    `.downsample.1`, attnpool q/k/v/c_proj + positional_embedding)."""
+    from mammodissect.utils.torch_convert import conv_to_flax, linear_to_flax
+
+    params: Dict = {}
+    stats: Dict = {}
+
+    def put(tree, path, val):
+        node = tree
+        for p in path[:-1]:
+            node = node.setdefault(p, {})
+        node[path[-1]] = np.asarray(val)
+
+    def grab(k):
+        return sd.get(prefix + k)
+
+    def conv(src, dst):
+        w = grab(src + ".weight")
+        if w is not None:
+            put(params, dst + ("kernel",), conv_to_flax(w))
+
+    def bn(src, dst):
+        w = grab(src + ".weight")
+        if w is not None:
+            put(params, dst + ("scale",), w)
+            put(params, dst + ("bias",), grab(src + ".bias"))
+            put(stats, dst + ("mean",), grab(src + ".running_mean"))
+            put(stats, dst + ("var",), grab(src + ".running_var"))
+
+    for i in (1, 2, 3):
+        conv(f"conv{i}", (f"conv{i}",))
+        bn(f"bn{i}", (f"bn{i}",))
+    si = 0
+    while grab(f"layer{si + 1}.0.conv1.weight") is not None:
+        bi = 0
+        while grab(f"layer{si + 1}.{bi}.conv1.weight") is not None:
+            src = f"layer{si + 1}.{bi}"
+            dst = (f"layer{si + 1}_{bi}",)
+            for ci in (1, 2, 3):
+                conv(f"{src}.conv{ci}", dst + (f"conv{ci}",))
+                bn(f"{src}.bn{ci}", dst + (f"bn{ci}",))
+            # CLIP downsample = (avgpool, conv1x1, bn) -> indices 0/1 are conv/bn
+            conv(f"{src}.downsample.0", dst + ("downsample_conv",))
+            bn(f"{src}.downsample.1", dst + ("downsample_bn",))
+            bi += 1
+        si += 1
+    if grab("attnpool.positional_embedding") is not None:
+        put(params, ("attnpool", "positional_embedding"),
+            grab("attnpool.positional_embedding"))
+        for side in ("q_proj", "k_proj", "v_proj", "c_proj"):
+            put(params, ("attnpool", side, "kernel"),
+                linear_to_flax(grab(f"attnpool.{side}.weight")))
+            put(params, ("attnpool", side, "bias"), grab(f"attnpool.{side}.bias"))
+    return params, stats
+
+
 class ModifiedResNetTarget:
     def __init__(self, variant: str = "RN50", input_size: int = 224, seed: int = 0,
-                 **_):
+                 ckpt_path: str | None = None, **_):
         self.model = ModifiedResNet(variant=variant, input_size=input_size)
         self.variables = jax.jit(self.model.init)(
             jax.random.PRNGKey(seed),
             jnp.ones((1, input_size, input_size, 3), jnp.float32),
         )
+        if ckpt_path:
+            import torch
+
+            from mammodissect.utils.torch_convert import merge_into
+
+            raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+            if hasattr(raw, "state_dict"):
+                raw = raw.state_dict()
+            sd = {k: v.detach().cpu().numpy() for k, v in raw.items()
+                  if hasattr(v, "detach")}
+            p, s = modified_resnet_torch_to_flax(sd)
+            self.variables, mm = merge_into(
+                self.variables, {"params": p, "batch_stats": s})
+            if mm:
+                print(f"[clip-rn] strict=False load: {len(mm)} unmatched")
         self._jit: Dict = {}
 
     def harvest(self, images, layers, pool_mode: str = "avg"):
@@ -167,7 +240,7 @@ def _register():
         if key not in TARGETS:
             TARGETS.register(key, lambda name=name, **kw: ModifiedResNetTarget(
                 variant=name, **{k: v for k, v in kw.items()
-                                 if k in ("input_size", "seed")}))
+                                 if k in ("input_size", "seed", "ckpt_path")}))
 
 
 _register()
