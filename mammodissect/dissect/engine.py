@@ -316,6 +316,13 @@ def _fused_harvest_embed(dissector, probe, layers, pool_mode: str, batch_size: i
             np.concatenate(emb_acc, axis=0), n_images)
 
 
+def get_target_activations(target_save_name: str, neuron_idx=None) -> np.ndarray:
+    """Load cached activations, optionally one neuron's column (the reference's
+    `get_dist_from_target_activations`, `concept_vit/utils.py:613-617`)."""
+    target_feats = np.load(target_save_name)
+    return target_feats[:, neuron_idx] if neuron_idx is not None else target_feats
+
+
 def read_concepts(concept_set: str) -> List[str]:
     with open(concept_set) as f:
         return [w for w in f.read().split("\n") if w.strip()]

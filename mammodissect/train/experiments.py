@@ -343,6 +343,12 @@ def loaded_inference_loop(cfg: FinetuneConfig, valid_folds: pd.DataFrame, log=pr
 
 def do_experiments(cfg: FinetuneConfig, log=print) -> pd.DataFrame:
     """Entry mirroring `do_experiments(args, device)` (`experiments.py:23-94`)."""
+    # run-metadata dump beside outputs (the reference pickles args,
+    # `lumi_single_gpu_train_classifier.py:153`)
+    os.makedirs(cfg.output_path, exist_ok=True)
+    from mammodissect.configs import save_config
+
+    save_config(cfg, os.path.join(cfg.output_path, "run_config.json"))
     df = pd.read_csv(cfg.csv_file)
     oof = []
     for fold in range(max(cfg.n_folds, 1)):

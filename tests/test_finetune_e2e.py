@@ -24,9 +24,9 @@ def synth_data(tmp_path_factory):
     rows = []
     for i in range(48):
         label = i % 2
-        arr = rng.normal(0.4, 0.1, size=(64, 48)).clip(0, 1)
+        arr = rng.normal(0.4, 0.1, size=(32, 24)).clip(0, 1)
         if label:
-            arr[24:40, 16:32] += 0.5
+            arr[12:22, 8:16] += 0.5
         p = root / f"img_{i}.png"
         Image.fromarray((arr.clip(0, 1) * 255).astype("uint8")).save(p)
         rows.append({
@@ -44,7 +44,7 @@ def base_cfg(synth_data, tmp_path, **kw):
     defaults = dict(
         csv_file=csv, data_dir=root, dataset="vindr", label="cancer",
         arch="test_b0_ft", epochs=2, batch_size=8, lr=1e-3, warmup_epochs=0,
-        img_size=(64, 48), checkpoints=str(tmp_path / "ckpt"),
+        img_size=(32, 24), checkpoints=str(tmp_path / "ckpt"),
         output_path=str(tmp_path / "out"), tensorboard_path=str(tmp_path / "tb"),
         dtype="float32", print_freq=1000, seed=1,
         bn_momentum=0.7,  # short smoke run: running stats must converge in ~20 steps
