@@ -173,6 +173,20 @@ def _epoch_metrics(cfg: FinetuneConfig, folds: pd.DataFrame, predictions: np.nda
     return out
 
 
+def _mem_postfix() -> str:
+    """Device-memory log postfix (the reference's tqdm CUDA-Mem/Util readout,
+    `experiments.py:440-447`); empty when the backend exposes no stats."""
+    try:
+        stats = jax.local_devices()[0].memory_stats() or {}
+        used = stats.get("bytes_in_use")
+        limit = stats.get("bytes_limit")
+        if used is not None and limit:
+            return f" [hbm {used / 1e9:.2f}/{limit / 1e9:.1f} GB]"
+    except Exception:
+        pass
+    return ""
+
+
 def _run_eval(trainer, dataset, batch_size: int, label_dtype) -> tuple:
     losses = AverageMeter()
     preds = []
@@ -256,7 +270,7 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
                 tb.add_scalar("train/iter_loss", loss, step)
             if step % cfg.print_freq == 0:
                 log(f"epoch {epoch} step {step} loss {loss:.4f} "
-                    f"{timeSince(start, (epoch + 1) / cfg.epochs)}")
+                    f"{timeSince(start, (epoch + 1) / cfg.epochs)}{_mem_postfix()}")
 
         val_loss, predictions = _run_eval(trainer, valid_ds, cfg.batch_size, label_dtype)
         metrics = _epoch_metrics(cfg, valid_folds, predictions)
