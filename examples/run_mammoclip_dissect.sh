@@ -10,6 +10,6 @@ python -m mammodissect.cli.dissect \
   --target_layers "$LAYERS" \
   --d_probe "csv:${PROBE_CSV:-vindr_meta.csv}" \
   --probe_kwargs "{\"root\": \"${PROBE_ROOT:-images/}\"}" \
-  --concept_set "${CONCEPTS:-Specific_concepts_sorted.txt}" \
+  --concept_set "${CONCEPTS:-$(python -c 'from mammodissect.assets import concept_set_path; print(concept_set_path())')}" \
   --similarity_fn soft_wpmi --top_k 100 --batch_size 64 \
   --activation_dir saved_activations --result_dir results

@@ -24,7 +24,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="comma-separated; reference spellings like "
                         "'image_encoder._blocks[17]' are accepted")
     p.add_argument("--d_probe", type=str, default="synthetic")
-    p.add_argument("--concept_set", type=str, required=True)
+    p.add_argument("--concept_set", type=str, default=None,
+                   help="path to a concepts txt; defaults to the vendored canonical "
+                        "762-concept set (assets/concepts/Specific_concepts_sorted.txt)")
     p.add_argument("--batch_size", type=int, default=200)
     p.add_argument("--pool_mode", type=str, default="avg", choices=["avg", "max"])
     p.add_argument("--similarity_fn", type=str, default="soft_wpmi",
@@ -62,6 +64,10 @@ def main(argv=None):
 
     enable_compilation_cache()
     args = build_parser().parse_args(argv)
+    if args.concept_set is None:
+        from mammodissect.assets import concept_set_path
+
+        args.concept_set = concept_set_path()
     cfg = DissectConfig(
         target_model=args.target_model,
         target_layers=args.target_layers.split(","),

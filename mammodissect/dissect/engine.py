@@ -29,6 +29,25 @@ from mammodissect.dissect.targets import get_target_model
 from mammodissect.dissect.results import write_results
 from mammodissect.ops.pooling import PM_SUFFIX
 from mammodissect.ops.similarity import get_similarity_fn
+from mammodissect.parallel.mesh import auto_data_mesh, data_parallel_size
+
+
+def _attach_mesh(obj, mesh):
+    """Give a target/dissector the engine's data mesh unless it already has one.
+
+    Multi-chip DP harvest: per-device probe shards, replicated params, one SPMD
+    program over Mesh('data') — mirrors the reference's DistributedSampler +
+    prediction gather (`Classifiers/experiments.py:554-564`) on the dissection side."""
+    if mesh is not None and hasattr(obj, "set_mesh") and getattr(obj, "mesh", None) is None:
+        obj.set_mesh(mesh)
+    return obj
+
+
+def _round_batch(batch_size: int, mesh) -> int:
+    """Round batch_size up to a multiple of the data-axis size (batches are padded to
+    the full batch size already, so sharding only needs divisibility)."""
+    d = data_parallel_size(mesh)
+    return ((batch_size + d - 1) // d) * d
 
 
 def get_save_names(clip_name: str, target_name: str, target_layer: str, d_probe: str,
@@ -85,6 +104,8 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
     os.makedirs(cfg.activation_dir, exist_ok=True)
     probe = probe or get_probe(cfg.d_probe, **cfg.probe_kwargs)
     layers = [canonical_layer_name(l) for l in cfg.target_layers]
+    mesh = auto_data_mesh()  # engine auto-uses all local devices (DP over the probe)
+    bs = _round_batch(cfg.batch_size, mesh)
 
     paths: Dict[str, str] = {}
     target_paths = {}
@@ -120,11 +141,11 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
         if can_fuse:
             dk = dict(cfg.dissector_kwargs)
             dk.setdefault("ckpt_path", cfg.breast_clip_ckpt)
-            dissector = dissector or get_dissector(cfg.clip_model, **dk)
+            dissector = _attach_mesh(dissector or get_dissector(cfg.clip_model, **dk), mesh)
             if hasattr(dissector, "harvest_and_embed_u8_dispatch"):
                 t0 = time.time()
                 acc, embs, n_images = _fused_harvest_embed(
-                    dissector, probe, layers, cfg.pool_mode, cfg.batch_size)
+                    dissector, probe, layers, cfg.pool_mode, bs)
                 for l in layers:
                     np.save(target_paths[l], acc[l])
                 np.save(paths["clip"], embs)
@@ -134,16 +155,19 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
 
     # ---- stage 1: target activation harvest (one jitted forward for ALL layers) ----
     if missing_layers:
-        target = target or get_target_model(
-            cfg.target_model,
-            ckpt_path=cfg.breast_clip_ckpt,
-            finetuned_ckpt=cfg.finetuned_ckpt,
-            num_class=cfg.num_class,
-            **cfg.target_kwargs,
+        target = _attach_mesh(
+            target
+            or get_target_model(
+                cfg.target_model,
+                ckpt_path=cfg.breast_clip_ckpt,
+                finetuned_ckpt=cfg.finetuned_ckpt,
+                num_class=cfg.num_class,
+                **cfg.target_kwargs,
+            ),
+            mesh,
         )
         t0 = time.time()
-        acc, n_images = harvest_probe(target, probe, layers, cfg.pool_mode,
-                                      cfg.batch_size)
+        acc, n_images = harvest_probe(target, probe, layers, cfg.pool_mode, bs)
         for l in layers:
             np.save(target_paths[l], acc[l])
         log(f"[harvest] {n_images} images x {len(layers)} layers in {time.time()-t0:.1f}s")
@@ -155,7 +179,7 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
         if cfg.clip_model.startswith("breastclip"):
             # the dissector loads the same Mammo-CLIP checkpoint (`utils.py:451-454`)
             dk.setdefault("ckpt_path", cfg.breast_clip_ckpt)
-        return get_dissector(cfg.clip_model, **dk)
+        return _attach_mesh(get_dissector(cfg.clip_model, **dk), mesh)
 
     # ---- stage 2: dissector image features ----
     if clip_missing and not os.path.exists(paths["clip"]):
@@ -170,16 +194,16 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
                 use_u8 = False
         n = len(probe)
         h, w_, c = probe.image_shape
-        for start in range(0, n, cfg.batch_size):
-            stop = min(start + cfg.batch_size, n)
+        for start in range(0, n, bs):
+            stop = min(start + bs, n)
             if use_u8:
-                u8 = np.zeros((cfg.batch_size, h, w_, c), np.uint8)
+                u8 = np.zeros((bs, h, w_, c), np.uint8)
                 for j, i in enumerate(range(start, stop)):
                     u8[j] = probe.image_u8(i)
                 feats.append(dissector.embed_images_u8(
                     u8, probe.mean, probe.std)[: stop - start])
             else:
-                imgs = np.zeros((cfg.batch_size, h, w_, c), np.float32)
+                imgs = np.zeros((bs, h, w_, c), np.float32)
                 for j, i in enumerate(range(start, stop)):
                     imgs[j] = probe.image(i)
                 feats.append(dissector.embed_images(imgs)[: stop - start])
@@ -238,8 +262,16 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
     dispatch queue overlapping upload/compute/fetch — the TPU-native analogue of the
     reference's DataLoader-worker overlap. Falls back to the float32 per-batch path.
 
+    With >1 local device the batch axis is sharded over a data mesh (attached to the
+    target here if the caller didn't already) and batch_size rounds up to a multiple
+    of the device count.
+
     Returns ({layer: [N, C] float32}, n_images)."""
     from collections import deque
+
+    if getattr(target, "mesh", None) is None and hasattr(target, "set_mesh"):
+        _attach_mesh(target, auto_data_mesh())
+    batch_size = _round_batch(batch_size, getattr(target, "mesh", None))
 
     use_u8 = (
         hasattr(target, "harvest_u8_dispatch")

@@ -24,12 +24,45 @@ TARGETS: Registry = Registry("target_model")
 
 
 class EfficientNetTarget:
-    """Dissect an EfficientNet(-Mammo) encoder's MBConv blocks ('blocks.i')."""
+    """Dissect an EfficientNet(-Mammo) encoder's MBConv blocks ('blocks.i').
 
-    def __init__(self, model, variables, dtype=jnp.float32):
+    When `mesh` is set (a Mesh with a 'data' axis — see `parallel.mesh.auto_data_mesh`)
+    the harvest batch axis is sharded over it: per-device probe shards, replicated
+    params, one SPMD program — the dissection-side analogue of the reference's
+    DistributedSampler DP (`Datasets/dataset_utils.py:236-251`). The batch size must
+    then be a multiple of the data-axis size (the engine rounds it up)."""
+
+    def __init__(self, model, variables, dtype=jnp.float32, mesh=None):
         self.model = model
         self.variables = variables
+        self.mesh = mesh
         self._jitted = {}
+
+    def set_mesh(self, mesh):
+        """Attach/replace the device mesh (clears compiled-program cache)."""
+        if mesh is not self.mesh:
+            self.mesh = mesh
+            self._jitted = {}
+
+    def _shardings(self):
+        """(param_sharding, batch_sharding) or (None, None) without a mesh."""
+        if self.mesh is None:
+            return None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mammodissect.parallel.mesh import DATA_AXIS
+
+        return NamedSharding(self.mesh, P()), NamedSharding(self.mesh, P(DATA_AXIS))
+
+    def _jit(self, fn):
+        rep, dat = self._shardings()
+        if rep is None:
+            return jax.jit(fn)
+        return jax.jit(fn, in_shardings=(rep, dat), out_shardings=dat)
+
+    def _put_batch(self, flat_or_batch):
+        _, dat = self._shardings()
+        return jax.device_put(flat_or_batch, dat)  # dat=None -> default device
 
     def _fn(self, capture: tuple, pool_mode: str, sample_shape: tuple):
         key = (capture, pool_mode)
@@ -48,7 +81,6 @@ class EfficientNetTarget:
             names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
             widths = tuple(int(shapes[k].shape[-1]) for k in names)
 
-            @jax.jit
             def fn(variables, x):
                 captured = raw(variables, x)
                 # ONE output buffer: each device->host fetch costs ~30ms on the
@@ -56,14 +88,14 @@ class EfficientNetTarget:
                 # quadruple harvest wall-clock; concat once, split on host.
                 return jnp.concatenate([captured[k] for k in names], axis=-1)
 
-            self._jitted[key] = (fn, names, widths)
+            self._jitted[key] = (self._jit(fn), names, widths)
         return self._jitted[key]
 
     def harvest(self, images: np.ndarray, layers: Sequence[str], pool_mode: str = "avg"):
         canon = [canonical_layer_name(l) for l in layers]
         capture = tuple(sorted({layer_index(c) for c in canon}))
         fn, names, widths = self._fn(capture, pool_mode, tuple(images.shape))
-        packed = np.asarray(fn(self.variables, jnp.asarray(images)))
+        packed = np.asarray(fn(self.variables, self._put_batch(np.asarray(images))))
         return self._split(packed, names, widths)
 
     @staticmethod
@@ -104,12 +136,11 @@ class EfficientNetTarget:
             names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
             widths = tuple(int(shapes[k].shape[-1]) for k in names)
 
-            @jax.jit
             def fn(variables, u8_flat):
                 captured = raw(variables, u8_flat)
                 return jnp.concatenate([captured[k] for k in names], axis=-1)
 
-            self._jitted[key] = (fn, names, widths)
+            self._jitted[key] = (self._jit(fn), names, widths)
         return self._jitted[key]
 
     def harvest_u8_dispatch(self, images_u8: np.ndarray, layers: Sequence[str],
@@ -122,7 +153,7 @@ class EfficientNetTarget:
         fn, names, widths = self._fn_u8(capture, pool_mode, tuple(images_u8.shape),
                                         float(mean), float(std))
         flat = np.ascontiguousarray(images_u8).reshape(-1)
-        return fn(self.variables, jax.device_put(flat)), names, widths
+        return fn(self.variables, self._put_batch(flat)), names, widths
 
 
 @TARGETS.register("tiny_cnn")

@@ -170,8 +170,25 @@ class BreastClip:
     variables: Dict
     tokenizer: Any = None
     max_length: int = 256
+    mesh: Any = None  # optional Mesh('data', ...): shards harvest/embed batch axis (DP)
 
     _jit_cache: Dict = field(default_factory=dict, repr=False)
+
+    def set_mesh(self, mesh):
+        """Attach/replace the device mesh for DP image harvest/embed (clears jit cache)."""
+        if mesh is not self.mesh:
+            self.mesh = mesh
+            self._jit_cache = {}
+
+    def _batch_shardings(self):
+        """(replicated_params, batch_sharding) or (None, None) without a mesh."""
+        if self.mesh is None:
+            return None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mammodissect.parallel.mesh import DATA_AXIS
+
+        return NamedSharding(self.mesh, P()), NamedSharding(self.mesh, P(DATA_AXIS))
 
     @classmethod
     def create(cls, model_config: Optional[Dict] = None, tokenizer=None, seed: int = 0,
@@ -259,9 +276,14 @@ class BreastClip:
                 feats = self.module.apply(v, x, method=BreastClipModule.encode_image)
                 return self.module.apply(v, feats, method=BreastClipModule.project_image)
 
-            self._jit_cache[key] = jax.jit(fn)
+            rep, dat = self._batch_shardings()
+            self._jit_cache[key] = (
+                jax.jit(fn) if rep is None
+                else jax.jit(fn, in_shardings=(rep, dat), out_shardings=dat)
+            )
+        _, dat = self._batch_shardings()
         flat = np.ascontiguousarray(images_u8).reshape(-1)
-        return np.asarray(self._jit_cache[key](self.variables, jax.device_put(flat)))
+        return np.asarray(self._jit_cache[key](self.variables, jax.device_put(flat, dat)))
 
     def harvest_and_embed_u8_dispatch(self, images_u8, layers, pool_mode: str,
                                       mean: float, std: float):
@@ -298,15 +320,20 @@ class BreastClip:
             names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
             widths = tuple(int(shapes[k].shape[-1]) for k in names)
 
-            @jax.jit
             def fn(v, u8_flat):
                 captured, emb = raw(v, u8_flat)
                 return jnp.concatenate([captured[k] for k in names], axis=-1), emb
 
-            self._jit_cache[key] = (fn, names, widths)
+            rep, dat = self._batch_shardings()
+            jfn = (
+                jax.jit(fn) if rep is None
+                else jax.jit(fn, in_shardings=(rep, dat), out_shardings=(dat, dat))
+            )
+            self._jit_cache[key] = (jfn, names, widths)
         fn, names, widths = self._jit_cache[key]
+        _, dat = self._batch_shardings()
         flat = np.ascontiguousarray(images_u8).reshape(-1)
-        packed, emb = fn(self.variables, jax.device_put(flat))
+        packed, emb = fn(self.variables, jax.device_put(flat, dat))
         return packed, emb, names, widths
 
     def embed_texts(self, texts) -> np.ndarray:

@@ -41,6 +41,22 @@ def make_mesh(
     return Mesh(dev_array, axis_names)
 
 
+def auto_data_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """Data-only mesh over all local devices, or None on a single device.
+
+    Used by the dissection engine to transparently shard the harvest batch axis
+    (the TPU analogue of the reference's DistributedSampler DP over the probe,
+    `Datasets/dataset_utils.py:236-251`) whenever >1 chip is visible."""
+    devices = jax.local_devices()
+    if len(devices) < min_devices:
+        return None
+    return make_mesh(devices, model_parallel=1)
+
+
+def data_parallel_size(mesh: Optional[Mesh]) -> int:
+    return int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
+
+
 @dataclasses.dataclass(frozen=True)
 class GlobalEnv:
     """Process-level env mirroring the reference namedtuple
@@ -58,7 +74,26 @@ class GlobalEnv:
         return cls(
             world_size=jax.process_count(),
             world_rank=jax.process_index(),
-            local_rank=jax.process_index(),
+            local_rank=_local_rank(),
             num_devices=jax.local_device_count(),
             master=jax.process_index() == 0,
         )
+
+
+def _local_rank() -> int:
+    """Rank within the node, matching the reference's LOCAL_RANK semantics
+    (`util/global_env.py:31` reads the env var torchrun/srun sets). JAX does not
+    expose host grouping directly, so: the launcher-provided env var wins; otherwise
+    infer rank-among-co-hosted-processes from which processes own this host's devices
+    (single-process and one-process-per-host topologies both yield 0)."""
+    import os
+
+    for var in ("LOCAL_RANK", "SLURM_LOCALID"):
+        if var in os.environ:
+            return int(os.environ[var])
+    if jax.process_count() == 1:
+        return 0
+    # One-process-per-host is the standard JAX topology: local rank is 0. For
+    # multi-process-per-host launches the launcher must provide LOCAL_RANK /
+    # SLURM_LOCALID (same contract as the reference's torchrun path).
+    return 0
