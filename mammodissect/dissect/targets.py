@@ -168,11 +168,13 @@ def _tiny_cnn(seed: int = 0, in_channels: int = 1, **_):
 
 @TARGETS.register("breastclip")
 def _breastclip_encoder(ckpt_path: str | None = None, variant: str = "efficientnet-b5",
-                        image_shape=(1520, 912, 1), seed: int = 0, dtype="bfloat16", **_):
-    """The Mammo-CLIP EfficientNet-B5 image encoder (`utils.py:434-446` hardcoded config);
-    loads a converted torch checkpoint when given (`--Breast_clip_chkpt`). Compute dtype
+                        image_shape=(1520, 912, 1), seed: int = 0, dtype="bfloat16",
+                        in_channels: int = 3, **_):
+    """The Mammo-CLIP EfficientNet-B5 image encoder (`utils.py:434-446` hardcoded config,
+    the 3-channel '-detect' tower; grayscale probes broadcast on device); loads a
+    converted torch checkpoint when given (`--Breast_clip_chkpt`). Compute dtype
     bf16 by default (BN stats and captured activations stay fp32)."""
-    model = EfficientNetMammo(variant=variant, in_channels=image_shape[-1],
+    model = EfficientNetMammo(variant=variant, in_channels=in_channels,
                               dtype=jnp.bfloat16 if dtype == "bfloat16" else jnp.float32)
     h, w, c = image_shape
     variables = jax.jit(model.init)(jax.random.PRNGKey(seed), jnp.ones((1, h, w, c), jnp.float32))
@@ -198,7 +200,7 @@ def _breastclip_classifier(ckpt_path: str | None = None, finetuned_ckpt: str | N
     )
 
     module = BreastClipClassifierModule(
-        variant=arch_variant(arch), in_channels=image_shape[-1], n_class=num_class,
+        variant=arch_variant(arch), n_class=num_class,
         freeze_encoder=arch_is_linear_probe(arch),
     )
     h, w, c = image_shape

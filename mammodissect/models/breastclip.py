@@ -2,8 +2,10 @@
 
 Re-implements the reference's `BreastClip` (`model/clip.py:12-137`) with the canonical
 config the dissection engine hardcodes (`concept_vit/utils.py:434-446`):
-EfficientNet-B5 'tf_efficientnet_b5_ns-detect' image tower (grayscale, GeM pooled,
-2048-d) + Bio_ClinicalBERT text tower (768-d, eos pooling) + linear projection heads to
+EfficientNet-B5 'tf_efficientnet_b5_ns-detect' image tower (3-channel RGB copies of the
+grayscale mammograms, avg-pooled, 2048-d — the vendored EfficientNet's
+AdaptiveAvgPool2d path, `efficientnet_custom.py:287-313`)
++ Bio_ClinicalBERT text tower (768-d, eos pooling) + linear projection heads to
 512 + temperature 0.07 → logit_scale param = log(1/T).
 
 Contract parity:
@@ -39,7 +41,9 @@ def default_model_config() -> Dict:
             "name": "tf_efficientnet_b5_ns-detect",
             "model_type": "cnn",
             "variant": "efficientnet-b5",
-            "in_channels": 1,
+            # '-detect' towers keep from_pretrained's default 3 input channels
+            # (`model/modules/__init__.py:41-46`); grayscale probes are broadcast.
+            "in_channels": 3,
         },
         "text_encoder": {
             "source": "huggingface",
@@ -56,7 +60,8 @@ class BreastClipModule(nn.Module):
 
     image_variant: str = "efficientnet-b5"
     image_tower: str = "cnn"  # cnn | swin | vit (`model_config["image_encoder"]["model_type"]`)
-    in_channels: int = 1
+    in_channels: int = 3
+    image_pooling: str = "avg"  # '-detect' avg-pool; "gem" for timm-style encoders
     text_pooling: str = "eos"
     proj_dim: int = 512
     proj_head: str = "linear"
@@ -88,7 +93,7 @@ class BreastClipModule(nn.Module):
         else:
             self.image_encoder = EfficientNetMammo(
                 variant=self.image_variant, in_channels=self.in_channels,
-                dtype=self.dtype,
+                pooling=self.image_pooling, dtype=self.dtype,
             )
         self.text_encoder = BertEncoder(
             vocab_size=self.vocab_size,
@@ -196,10 +201,12 @@ class BreastClip:
                dtype=jnp.float32, bert_layers: int = 12, vocab_size: int = 28996):
         cfg = model_config or default_model_config()
         ie, te, ph = cfg["image_encoder"], cfg["text_encoder"], cfg.get("projection_head", {})
+        name = ie.get("name", "tf_efficientnet_b5_ns-detect")
         module = BreastClipModule(
             image_variant=ie.get("variant", "efficientnet-b5"),
             image_tower=ie.get("model_type", "cnn"),
-            in_channels=ie.get("in_channels", 1),
+            in_channels=ie.get("in_channels", 3),
+            image_pooling=ie.get("pooling", "avg" if name.endswith("-detect") else "gem"),
             text_pooling=te.get("pooling", "eos"),
             proj_dim=ph.get("proj_dim", 512),
             proj_head=ph.get("name", "linear"),

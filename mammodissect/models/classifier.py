@@ -24,17 +24,22 @@ from mammodissect.models.layers import LinearClassifier
 
 class BreastClipClassifierModule(nn.Module):
     variant: str = "efficientnet-b5"
-    in_channels: int = 1
+    # the reference classifier rebuilds the '-detect' encoder from the clip ckpt config
+    # (`breast_clip_classifier.py:9-39`) and feeds it PIL-RGB mammograms
+    # (`dataset_concepts.py:168-227`): 3-channel. Grayscale input is broadcast on device.
+    in_channels: int = 3
     n_class: int = 1
     freeze_encoder: bool = False  # True for '*_lp' linear-probe archs
     bn_momentum: float = 0.99
+    pad_mode: str = "static"  # "same" for geometries far from the traced resolution
     remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.image_encoder = EfficientNetMammo(
             variant=self.variant, in_channels=self.in_channels,
-            bn_momentum=self.bn_momentum, remat=self.remat, dtype=self.dtype,
+            bn_momentum=self.bn_momentum, pad_mode=self.pad_mode,
+            remat=self.remat, dtype=self.dtype,
         )
         self.classifier = LinearClassifier(self.n_class, dtype=self.dtype)
 
@@ -102,8 +107,8 @@ class MammoEfficientNetModule(nn.Module):
     @nn.compact
     def __call__(self, x, train: bool = False):
         pooled, _ = EfficientNetMammo(
-            variant=self.variant, in_channels=self.in_channels, dtype=self.dtype,
-            name="encoder",
+            variant=self.variant, in_channels=self.in_channels, pooling="gem",
+            dtype=self.dtype, name="encoder",
         )(x, train=train)
         logits = nn.Dense(self.n_class, name="fc", dtype=self.dtype)(pooled)
         if self.return_features:

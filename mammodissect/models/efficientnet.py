@@ -6,8 +6,20 @@ Re-implements the capability of the reference's vendored lukemelas EfficientNet
 hook targets (`:181-198`, `concept_vit/run_clipdissect.sh:6-9`), and `extract_features`
 (`:287-303`). Design differences (TPU-idiomatic, not a translation):
 
-- NHWC layout; convs use XLA's native 'SAME' padding (bit-equivalent to the reference's
-  TF-SAME dynamic padding, `efficient_net_custom_utils.py:215-277`).
+- NHWC layout. Padding is reference-faithful *static* SAME: the reference builds its
+  convs with padding precomputed from the variant's canonical resolution
+  (`Conv2dStaticSamePadding`, `efficient_net_custom_utils.py:248-277`; traced at
+  image_size=456 for B5 via `get_model_params`) and then feeds 1520x912 — so wherever
+  an intermediate size's parity differs from the 456 chain at a stride-2 conv, the
+  actual padding differs from true SAME by a one-pixel shift (e.g. B5 block 13's
+  depthwise at 1520x912 pads (1,1) where true SAME pads (0,1)). We replicate the traced
+  chain as explicit static padding tuples (`pad_mode="static"`, the default), which is
+  also XLA-friendly; `pad_mode="same"` gives true input-size SAME (the reference's
+  `Conv2dDynamicSamePadding` behavior when image_size=None).
+- Grayscale probes are broadcast to the tower's in_channels on device: the canonical
+  'tf_efficientnet_b5_ns-detect' tower is 3-channel (`from_pretrained` default
+  in_channels, `model/modules/__init__.py:41-46`) and the probe datasets feed it
+  PIL-RGB copies of grayscale PNGs (`image_classification_zs.py:65-75`).
 - Forward is a single traced program; activation "hooks" are a static `capture` tuple of
   block indices — each captured block's output is pooled (avg/max over spatial) *inside*
   the jitted forward, so harvesting all 39 layers is one XLA program with [B, C]-sized
@@ -82,6 +94,22 @@ def v2_block_args() -> Tuple[BlockArgs, ...]:
     return tuple(out)
 
 
+def _pad1d(i: int, k: int, s: int) -> int:
+    """TF-SAME total padding for one spatial dim (dilation 1):
+    max((ceil(i/s)-1)*s + k - i, 0) — `efficient_net_custom_utils.py:240-244`."""
+    o = -(-i // s)
+    return max((o - 1) * s + k - i, 0)
+
+
+def static_same_padding(size, k: int, s: int):
+    """Explicit ((top,bottom),(left,right)) padding matching the reference's
+    Conv2dStaticSamePadding built at `size` (`efficient_net_custom_utils.py:255-272`:
+    ZeroPad2d(pad//2, pad-pad//2) per dim)."""
+    ph = _pad1d(size[0], k, s)
+    pw = _pad1d(size[1], k, s)
+    return ((ph // 2, ph - ph // 2), (pw // 2, pw - pw // 2))
+
+
 def expand_block_args(
     width_coefficient: float, depth_coefficient: float
 ) -> Tuple[BlockArgs, ...]:
@@ -123,6 +151,7 @@ class FusedMBConvBlock(nn.Module):
     args: "BlockArgs"
     bn_momentum: float = 0.99
     bn_eps: float = 1e-3
+    padding: Any = "SAME"  # main (strided) conv padding: "SAME" or explicit tuple
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -138,16 +167,16 @@ class FusedMBConvBlock(nn.Module):
 
         if ba.expand_ratio != 1:
             x = nn.Conv(c_exp, (ba.kernel_size, ba.kernel_size),
-                        strides=(ba.stride, ba.stride), padding="SAME", use_bias=False,
-                        name="expand_conv", dtype=self.dtype)(x)
+                        strides=(ba.stride, ba.stride), padding=self.padding,
+                        use_bias=False, name="expand_conv", dtype=self.dtype)(x)
             x = jax.nn.silu(bn("bn0")(x))
             x = nn.Conv(ba.output_filters, (1, 1), use_bias=False, name="project_conv",
                         dtype=self.dtype)(x)
             x = bn("bn2")(x)
         else:
             x = nn.Conv(ba.output_filters, (ba.kernel_size, ba.kernel_size),
-                        strides=(ba.stride, ba.stride), padding="SAME", use_bias=False,
-                        name="project_conv", dtype=self.dtype)(x)
+                        strides=(ba.stride, ba.stride), padding=self.padding,
+                        use_bias=False, name="project_conv", dtype=self.dtype)(x)
             x = jax.nn.silu(bn("bn2")(x))
 
         if ba.id_skip and ba.stride == 1 and c_in == ba.output_filters:
@@ -163,6 +192,7 @@ class MBConvBlock(nn.Module):
     args: BlockArgs
     bn_momentum: float = 0.99
     bn_eps: float = 1e-3
+    padding: Any = "SAME"  # depthwise conv padding: "SAME" or explicit static tuple
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -190,7 +220,7 @@ class MBConvBlock(nn.Module):
             c_exp,
             (ba.kernel_size, ba.kernel_size),
             strides=(ba.stride, ba.stride),
-            padding="SAME",
+            padding=self.padding,
             feature_group_count=c_exp,
             use_bias=False,
             name="depthwise_conv",
@@ -224,10 +254,15 @@ class EfficientNet(nn.Module):
     Mammo-CLIP image feature dim (`model/modules/__init__.py:46`)."""
 
     variant: str = "efficientnet-b5"
-    in_channels: int = 1  # mammograms are grayscale (`EfficientNet_Mammo` in_chans=1)
+    in_channels: int = 1  # grayscale; the canonical '-detect' tower uses 3 (RGB copies)
     drop_connect_rate: float = 0.2
     bn_momentum: float = 0.99
     bn_eps: float = 1e-3
+    # "static": reference-faithful padding traced at pad_size (default: the variant's
+    # canonical resolution, e.g. 456 for B5 — what `from_name` bakes in). "same": true
+    # input-size SAME (XLA native; == the reference's dynamic-padding variant).
+    pad_mode: str = "static"
+    pad_size: Any = None  # int or (h, w); None -> variant resolution (square)
     remat: bool = False  # rematerialize MBConv blocks (jax.checkpoint): trades ~30%
     # backward FLOPs for O(depth) less activation HBM — enables larger fine-tune
     # batches at 1520x912 (the TPU analogue of torch gradient checkpointing)
@@ -251,6 +286,49 @@ class EfficientNet(nn.Module):
         w, _, _, _ = EFFICIENTNET_PARAMS[self.variant]
         return round_filters(1280, w)
 
+    def _paddings(self, input_hw=None):
+        """(stem_padding, per-block padding) for the configured pad_mode.
+
+        Static mode replays the reference's construction-time size chain
+        (`efficientnet_custom.py:166-198`: image_size -> ceil(size/stride) after the
+        stem and after each strided block) and emits explicit pad tuples; only the
+        stem and the strided convs can differ from true SAME (stride-1 SAME padding
+        is size-independent). When `input_hw` (the actual static input size) is given,
+        any conv whose traced padding would collapse a dim to zero falls back to true
+        SAME for that dim — a regime where the torch reference itself crashes, so tiny
+        test geometries stay runnable without affecting canonical-size parity."""
+        if self.pad_mode == "same" or self.is_v2:
+            return "SAME", tuple("SAME" for _ in self.block_args)
+        size = self.pad_size
+        if size is None:
+            size = EFFICIENTNET_PARAMS[self.variant][2]
+        if isinstance(size, int):
+            size = (size, size)
+        actual = tuple(input_hw) if input_hw is not None else None
+
+        def pick(traced, act, k, s):
+            pads, new_act = [], []
+            for idx in range(2):
+                p = _pad1d(traced[idx], k, s)
+                if act is not None:
+                    out = (act[idx] + p - k) // s + 1
+                    if out < 1:
+                        p = _pad1d(act[idx], k, s)
+                        out = (act[idx] + p - k) // s + 1
+                    new_act.append(out)
+                pads.append((p // 2, p - p // 2))
+            return tuple(pads), (tuple(new_act) if act is not None else None)
+
+        stem_pad, actual = pick(size, actual, 3, 2)
+        size = (-(-size[0] // 2), -(-size[1] // 2))
+        pads = []
+        for ba in self.block_args:
+            p, actual = pick(size, actual, ba.kernel_size, ba.stride)
+            pads.append(p)
+            if ba.stride > 1:
+                size = (-(-size[0] // ba.stride), -(-size[1] // ba.stride))
+        return stem_pad, tuple(pads)
+
     @nn.compact
     def __call__(
         self,
@@ -262,6 +340,13 @@ class EfficientNet(nn.Module):
         stem_filters = 24 if self.is_v2 else round_filters(32, EFFICIENTNET_PARAMS[self.variant][0])
         blocks = self.block_args
         captured: Dict[str, jax.Array] = {}
+        stem_pad, block_pads = self._paddings((int(x.shape[1]), int(x.shape[2])))
+
+        # grayscale -> in_channels broadcast on device (the reference's PIL
+        # convert('RGB') of grayscale probes, `image_classification_zs.py:65-75`;
+        # mean/std normalization commutes with the channel copy)
+        if x.shape[-1] == 1 and self.in_channels > 1:
+            x = jnp.broadcast_to(x, x.shape[:-1] + (self.in_channels,))
 
         def bn(name):
             return nn.BatchNorm(
@@ -276,7 +361,7 @@ class EfficientNet(nn.Module):
             stem_filters,
             (3, 3),
             strides=(2, 2),
-            padding="SAME",
+            padding=stem_pad,
             use_bias=False,
             name="stem_conv",
             dtype=self.dtype,
@@ -294,6 +379,7 @@ class EfficientNet(nn.Module):
                 ba,
                 bn_momentum=self.bn_momentum,
                 bn_eps=self.bn_eps,
+                padding=block_pads[i],
                 dtype=self.dtype,
                 name=f"blocks_{i}",
             )(x, train, drop_rate)
@@ -311,22 +397,32 @@ class EfficientNet(nn.Module):
 
 
 class EfficientNetMammo(nn.Module):
-    """Backbone + GeM pooling + flatten: the `EfficientNet_Mammo` image encoder used by
-    BreastClip for 'tf_efficientnet_b5_ns-detect' (`model/modules/image_encoder.py:99-120`,
-    `model/modules/__init__.py:41-46`): grayscale in, pooled `out_dim`-vector out."""
+    """Backbone + spatial pooling + flatten — BreastClip's image tower.
+
+    pooling="avg" (default) is the canonical 'tf_efficientnet_b5_ns-detect' tower: the
+    reference's vendored EfficientNet with AdaptiveAvgPool2d+flatten
+    (`efficientnet_custom.py:287-313`, selected by `model/modules/__init__.py:41-46`).
+    pooling="gem" is the timm-backed `EfficientNet_Mammo` variant with GeM(p=3)
+    (`model/modules/image_encoder.py:99-120`, the non-'-detect' encoder names)."""
 
     variant: str = "efficientnet-b5"
-    in_channels: int = 1
+    in_channels: int = 3  # '-detect' towers are built at from_pretrained's default 3
+    pooling: str = "avg"  # "avg" | "gem"
     bn_momentum: float = 0.99
+    pad_mode: str = "static"
     remat: bool = False
     dtype: Any = jnp.float32
 
     def setup(self):
         self.backbone = EfficientNet(
             variant=self.variant, in_channels=self.in_channels,
-            bn_momentum=self.bn_momentum, remat=self.remat, dtype=self.dtype,
+            bn_momentum=self.bn_momentum, pad_mode=self.pad_mode,
+            remat=self.remat, dtype=self.dtype,
         )
-        self.pool = GeM()
+        if self.pooling == "gem":
+            self.pool = GeM()
+        else:
+            self.pool = lambda x: jnp.mean(x.astype(jnp.float32), axis=(1, 2))
 
     @property
     def out_dim(self) -> int:

@@ -69,6 +69,7 @@ class FinetuneConfig:
     model_parallel: int = 1
     dtype: str = "bfloat16"
     bn_momentum: float = 0.99  # lower for short fine-tunes so running stats converge
+    pad_mode: str = "static"  # reference-faithful static SAME; "same" for toy geometries
     remat: bool = False  # rematerialize conv blocks: bigger batches at 1520x912
     resume_from: Optional[str] = None  # checkpoint path: restore params+opt_state+epoch
     train_eval: bool = True  # also eval the train folds per epoch (`experiments.py:200-217`)
@@ -127,8 +128,8 @@ def build_model(cfg: FinetuneConfig):
     (`breast_clip_classifier.py:6-51`)."""
     module = BreastClipClassifierModule(
         variant=arch_variant(cfg.arch),
-        in_channels=1,
         n_class=cfg.n_class,
+        pad_mode=cfg.pad_mode,
         freeze_encoder=arch_is_linear_probe(cfg.arch),
         bn_momentum=cfg.bn_momentum,
         remat=cfg.remat,

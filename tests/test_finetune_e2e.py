@@ -48,6 +48,7 @@ def base_cfg(synth_data, tmp_path, **kw):
         output_path=str(tmp_path / "out"), tensorboard_path=str(tmp_path / "tb"),
         dtype="float32", print_freq=1000, seed=1,
         bn_momentum=0.7,  # short smoke run: running stats must converge in ~20 steps
+        pad_mode="same",  # toy 32x24 geometry is far from the 224-traced static chain
     )
     defaults.update(kw)
     return FinetuneConfig(**defaults)
@@ -68,7 +69,7 @@ def test_split_folds_rsna_fold_column(synth_data, tmp_path):
 
 
 def test_train_loop_learns_and_checkpoints(synth_data, tmp_path):
-    cfg = base_cfg(synth_data, tmp_path, epochs=6)
+    cfg = base_cfg(synth_data, tmp_path, epochs=10)
     df = pd.read_csv(cfg.csv_file)
     tr, va = split_folds(cfg, df)
     logs = []

@@ -90,3 +90,68 @@ def test_cos_similarity_agreement(ref_similarity, feats):
     ).numpy()
     ours3 = np.asarray(cos_similarity_cubed(clip_feats, target_feats))
     assert _agreement(ours3, theirs3) >= 0.99
+
+
+def test_rank_reorder_agreement(ref_similarity, feats):
+    """rank_reorder oracle (reference `similarity.py:99-132`). The torch original draws
+    unseeded `randperm`s for its per-unit random baseline; we pin them to a seeded
+    generator for determinism. The baseline divides a unit's WHOLE row by one scalar, so
+    everything the pipeline consumes — per-unit concept ranking via `topk(dim=1)` — is
+    baseline-invariant. We assert, per unit over the concepts where the torch output is
+    finite: (a) the concept ranking matches exactly, and (b) ours/torch is CONSTANT
+    (i.e. the outputs are equal up to the per-unit baseline scalar: full value parity
+    modulo the intentionally-different RNG)."""
+    import torch
+
+    from mammodissect.ops.similarity import rank_reorder
+
+    clip_feats, target_feats = feats
+    clip_feats = clip_feats[:, :128]  # keep the torch per-unit python loop affordable
+    target_feats = target_feats[:, :64]
+
+    gen = torch.Generator().manual_seed(0)
+    orig_randperm = torch.randperm
+    torch.randperm = lambda n, **kw: orig_randperm(n, generator=gen)
+    try:
+        theirs = ref_similarity.rank_reorder(
+            torch.tensor(clip_feats), torch.tensor(target_feats), device="cpu"
+        ).numpy()
+    finally:
+        torch.randperm = orig_randperm
+    ours = np.asarray(rank_reorder(clip_feats, target_feats))
+    assert ours.shape == theirs.shape
+    assert np.isfinite(ours).all()
+
+    for u in range(ours.shape[0]):
+        finite = np.isfinite(theirs[u])
+        assert finite.sum() >= 8  # realistic cosine feats: plenty of finite entries
+        np.testing.assert_array_equal(
+            np.argsort(-ours[u, finite]), np.argsort(-theirs[u, finite]),
+            err_msg=f"unit {u} ranking",
+        )
+        ratio = ours[u, finite] / theirs[u, finite]
+        spread = np.abs(ratio / ratio[0] - 1.0)
+        assert spread.max() < 1e-3, (u, spread.max())  # fp32 noise only
+
+
+def test_rank_reorder_nan_clamp_deviation_only(ref_similarity, feats):
+    """Our only deliberate deviation is clamping avg_clip before **0.5
+    (`ops/similarity.py`): verify torch is NaN exactly where a concept's mean clip score
+    over the unit's top images is negative, and nowhere else — i.e. the deviation only
+    changes cases where the reference itself produces NaN."""
+    import torch
+
+    clip_feats, target_feats = feats
+    clip_feats = clip_feats[:, :128]
+    target_feats = target_feats[:, :64]
+
+    theirs = ref_similarity.rank_reorder(
+        torch.tensor(clip_feats), torch.tensor(target_feats), device="cpu"
+    ).numpy()
+
+    top_n = int(target_feats.shape[0] * 0.05)
+    _, inds = torch.topk(torch.tensor(target_feats), k=top_n, dim=0)
+    avg_clip = np.stack(
+        [clip_feats[inds[:, u].numpy()].mean(axis=0) for u in range(target_feats.shape[1])]
+    )
+    np.testing.assert_array_equal(~np.isfinite(theirs), avg_clip < 0)
