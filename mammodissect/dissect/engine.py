@@ -396,21 +396,85 @@ def get_similarity_from_activations(
     return similarity
 
 
+def _load_clip_feats(clip_save_name: str, text_save_name: str) -> np.ndarray:
+    image_features = np.load(clip_save_name).astype(np.float32)
+    text_features = np.load(text_save_name).astype(np.float32)
+    image_features /= np.clip(np.linalg.norm(image_features, axis=1, keepdims=True), 1e-12, None)
+    text_features /= np.clip(np.linalg.norm(text_features, axis=1, keepdims=True), 1e-12, None)
+    return image_features @ text_features.T
+
+
+def score_all_layers(
+    feats_by_layer: Dict[str, np.ndarray],
+    clip_save_name: str,
+    text_save_name: str,
+    similarity_name: str,
+    top_k: int = 100,
+) -> Dict[str, np.ndarray]:
+    """Stage 4 over ALL layers in ONE jitted program.
+
+    The reference scores layer by layer (`describe_broad_neurons.py:83-119`), which in
+    XLA terms would compile once per distinct unit width (7 for B5's 39 blocks). Here
+    the per-layer [N, U_l] activation matrices are concatenated into one [N, U_total]
+    scoring call: soft_wpmi/wpmi use the segmented entry points (per-layer log p(d) via
+    segment logsumexp — math identical to the per-layer loop); cos/cos³/rank_reorder
+    are per-unit independent so the plain fn applies directly. One compile, full-width
+    MXU tiles, one device round-trip."""
+    from mammodissect.ops.similarity import SEGMENTED_FNS
+
+    clip_feats = _load_clip_feats(clip_save_name, text_save_name)
+    layers = list(feats_by_layer)
+    widths = [feats_by_layer[l].shape[1] for l in layers]
+    target_cat = np.concatenate(
+        [feats_by_layer[l].astype(np.float32) for l in layers], axis=1
+    )
+
+    kwargs = {}
+    if similarity_name == "soft_wpmi":
+        kwargs["top_k"] = min(top_k, target_cat.shape[0])
+        import jax
+
+        from mammodissect.ops.pallas_wpmi import pallas_fits
+
+        if jax.default_backend() == "tpu" and pallas_fits(target_cat.shape[0]):
+            kwargs["use_pallas"] = True
+    if similarity_name in SEGMENTED_FNS:
+        segment_ids = np.repeat(np.arange(len(layers), dtype=np.int32), widths)
+        sim_cat = np.asarray(
+            SEGMENTED_FNS[similarity_name](
+                clip_feats, target_cat, segment_ids, len(layers), **kwargs
+            )
+        )
+    else:
+        sim_cat = np.asarray(
+            get_similarity_fn(similarity_name)(clip_feats, target_cat, **kwargs)
+        )
+
+    out, off = {}, 0
+    for layer, w in zip(layers, widths):
+        out[layer] = sim_cat[off : off + w]
+        off += w
+    return out
+
+
 def run_dissection(cfg: DissectConfig, probe=None, target=None, dissector=None, log=print):
     """Full driver (reference `describe_broad_neurons.py.__main__`): harvest + score every
     layer, emit the results CSV `{layer, unit, description, similarity, images}` and an
     args.txt metadata dump. Returns (DataFrame, csv_path)."""
     paths = save_activations(cfg, probe=probe, target=target, dissector=dissector, log=log)
     words = read_concepts(cfg.concept_set)
-    similarity_fn = get_similarity_fn(cfg.similarity_fn)
+
+    layer_names = [canonical_layer_name(l) for l in cfg.target_layers]
+    feats_by_layer = {
+        l: np.load(paths[f"target:{l}"]).astype(np.float32) for l in layer_names
+    }
+    sims = score_all_layers(
+        feats_by_layer, paths["clip"], paths["text"], cfg.similarity_fn, top_k=cfg.top_k
+    )
 
     outputs = {"layer": [], "unit": [], "description": [], "similarity": [], "images": []}
-    for raw_layer in cfg.target_layers:
-        layer = canonical_layer_name(raw_layer)
-        sim, target_feats = get_similarity_from_activations(
-            paths[f"target:{layer}"], paths["clip"], paths["text"], similarity_fn,
-            top_k=cfg.top_k,
-        )
+    for layer in layer_names:
+        sim, target_feats = sims[layer], feats_by_layer[layer]
         k_c = min(cfg.num_top_concepts, sim.shape[1])
         k_i = min(cfg.num_top_images, target_feats.shape[0])
         top_concepts = np.argsort(-sim, axis=1, kind="stable")[:, :k_c]  # [U, k_c]

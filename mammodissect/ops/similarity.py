@@ -59,6 +59,20 @@ def soft_wpmi(
     target_feats = _f32(target_feats)
     k = min(top_k, target_feats.shape[0])
 
+    prob_d_given_e = _soft_wpmi_pde(
+        clip_feats, target_feats, k, top_k, a, min_prob, p_start, p_end,
+        unit_batch, use_pallas,
+    )
+    prob_d = jax.nn.logsumexp(prob_d_given_e, axis=0, keepdims=True) - jnp.log(
+        jnp.float32(prob_d_given_e.shape[0])
+    )
+    return prob_d_given_e - lam * prob_d
+
+
+def _soft_wpmi_pde(clip_feats, target_feats, k, top_k, a, min_prob, p_start, p_end,
+                   unit_batch, use_pallas):
+    """p(d|e) for every unit: [U, C]. Per-unit independent — shared by the per-layer
+    and the segmented (all-layers-in-one-program) entry points."""
     clip_sm = jax.nn.softmax(a * clip_feats, axis=1)  # [N, C]
     # indices of the k most-activating images per neuron: [k, U] -> map over U
     _, inds = lax.top_k(target_feats.T, k)  # [U, k]
@@ -67,19 +81,87 @@ def soft_wpmi(
     if use_pallas:
         from mammodissect.ops.pallas_wpmi import soft_wpmi_gather_logsum
 
-        prob_d_given_e = soft_wpmi_gather_logsum(clip_sm, inds, p_in, min_prob)
-    else:
+        return soft_wpmi_gather_logsum(clip_sm, inds, p_in, min_prob)
 
-        def unit_fn(ind_row):  # [k] -> [C]
-            rows = clip_sm[ind_row]  # gather [k, C]
-            v = 1.0 + p_in[:, None] * (rows - 1.0)
-            return jnp.sum(jnp.log(v + min_prob), axis=0)
+    def unit_fn(ind_row):  # [k] -> [C]
+        rows = clip_sm[ind_row]  # gather [k, C]
+        v = 1.0 + p_in[:, None] * (rows - 1.0)
+        return jnp.sum(jnp.log(v + min_prob), axis=0)
 
-        prob_d_given_e = lax.map(unit_fn, inds, batch_size=unit_batch)  # [U, C]
+    return lax.map(unit_fn, inds, batch_size=unit_batch)  # [U, C]
 
-    prob_d = jax.nn.logsumexp(prob_d_given_e, axis=0, keepdims=True) - jnp.log(
-        jnp.float32(prob_d_given_e.shape[0])
+
+def _segment_logsumexp_mean(x, segment_ids, num_segments):
+    """Per-segment logsumexp(x, axis=0) − log(segment size), broadcast back to rows:
+    the per-LAYER `log p(d)` of soft_wpmi/wpmi when many layers' units are concatenated
+    into one [U_total, C] program (kills the per-unit-width recompiles; VERDICT round 1)."""
+    seg_max = jax.ops.segment_max(x, segment_ids, num_segments=num_segments)  # [S, C]
+    seg_max = jnp.where(jnp.isfinite(seg_max), seg_max, 0.0)
+    sums = jax.ops.segment_sum(
+        jnp.exp(x - seg_max[segment_ids]), segment_ids, num_segments=num_segments
     )
+    counts = jax.ops.segment_sum(
+        jnp.ones((x.shape[0], 1), jnp.float32), segment_ids, num_segments=num_segments
+    )
+    prob_d = seg_max + jnp.log(sums) - jnp.log(jnp.clip(counts, 1.0))  # [S, C]
+    return prob_d[segment_ids]
+
+
+@partial(jax.jit, static_argnames=("num_segments", "top_k", "unit_batch", "use_pallas"))
+def soft_wpmi_segmented(
+    clip_feats,
+    target_feats,
+    segment_ids,
+    num_segments: int,
+    top_k: int = 100,
+    a: float = 10.0,
+    lam: float = 1.0,
+    min_prob: float = 1e-7,
+    p_start: float = 0.998,
+    p_end: float = 0.97,
+    unit_batch: int = 128,
+    use_pallas: bool = False,
+):
+    """soft_wpmi over MANY layers in one program: target_feats is the [N, U_total]
+    concatenation of per-layer activation matrices, segment_ids [U_total] maps each unit
+    to its layer. Math identical to calling `soft_wpmi` once per layer — p(d|e) is
+    per-unit; log p(d)'s logsumexp runs within each unit's own layer segment."""
+    clip_feats = _f32(clip_feats)
+    target_feats = _f32(target_feats)
+    k = min(top_k, target_feats.shape[0])
+    prob_d_given_e = _soft_wpmi_pde(
+        clip_feats, target_feats, k, top_k, a, min_prob, p_start, p_end,
+        unit_batch, use_pallas,
+    )
+    prob_d = _segment_logsumexp_mean(prob_d_given_e, segment_ids, num_segments)
+    return prob_d_given_e - lam * prob_d
+
+
+@partial(jax.jit, static_argnames=("num_segments", "top_k", "unit_batch"))
+def wpmi_segmented(
+    clip_feats,
+    target_feats,
+    segment_ids,
+    num_segments: int,
+    top_k: int = 28,
+    a: float = 2.0,
+    lam: float = 0.6,
+    min_prob: float = 1e-7,
+    unit_batch: int = 128,
+):
+    """wpmi over many layers in one program (see soft_wpmi_segmented)."""
+    clip_feats = _f32(clip_feats)
+    target_feats = _f32(target_feats)
+    k = min(top_k, target_feats.shape[0])
+    clip_sm = jax.nn.softmax(a * clip_feats, axis=1)
+    _, inds = lax.top_k(target_feats.T, k)
+
+    def unit_fn(ind_row):
+        rows = clip_sm[ind_row]
+        return jnp.sum(jnp.log(rows + min_prob), axis=0)
+
+    prob_d_given_e = lax.map(unit_fn, inds, batch_size=unit_batch)
+    prob_d = _segment_logsumexp_mean(prob_d_given_e, segment_ids, num_segments)
     return prob_d_given_e - lam * prob_d
 
 
@@ -203,6 +285,16 @@ SIMILARITY_FNS = {
     "rank_reorder": rank_reorder,
     "cos_similarity": cos_similarity,
     "cos_similarity_cubed": cos_similarity_cubed,
+}
+
+# Entry points for scoring MANY layers' concatenated units in ONE program. Only the
+# wpmi family couples units through log p(d)'s per-layer logsumexp and needs explicit
+# segmentation; the other three are per-unit independent (column-wise normalize /
+# center / rank), so the plain fn applied to the [N, U_total] concatenation already
+# equals the per-layer results.
+SEGMENTED_FNS = {
+    "soft_wpmi": soft_wpmi_segmented,
+    "wpmi": wpmi_segmented,
 }
 
 

@@ -125,3 +125,77 @@ def test_top1_agreement_large():
     sim = np.asarray(soft_wpmi(clip, target, top_k=40))
     top1 = sim.argmax(axis=1)
     assert (top1 == (np.arange(u) % c)).mean() >= 0.99
+
+
+def test_segmented_equals_per_layer():
+    """soft_wpmi_segmented / wpmi_segmented over concatenated multi-width layers must
+    equal the per-layer calls (the engine's one-program scoring path)."""
+    from mammodissect.ops.similarity import soft_wpmi_segmented, wpmi_segmented
+
+    rng = np.random.default_rng(7)
+    clip_feats = rng.normal(size=(80, 23)).astype(np.float32)
+    widths = [5, 13, 8, 5]  # repeated + distinct widths, like B5's block families
+    layers = [rng.normal(size=(80, w)).astype(np.float32) for w in widths]
+    cat = np.concatenate(layers, axis=1)
+    seg = np.repeat(np.arange(len(widths), dtype=np.int32), widths)
+
+    got = np.asarray(soft_wpmi_segmented(clip_feats, cat, seg, len(widths), top_k=20))
+    want = np.concatenate(
+        [np.asarray(soft_wpmi(clip_feats, tf, top_k=20)) for tf in layers], axis=0
+    )
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+    got_w = np.asarray(wpmi_segmented(clip_feats, cat, seg, len(widths)))
+    want_w = np.concatenate(
+        [np.asarray(wpmi(clip_feats, tf)) for tf in layers], axis=0
+    )
+    np.testing.assert_allclose(got_w, want_w, atol=1e-5, rtol=1e-5)
+
+
+@pytest.mark.parametrize("name", ["cos_similarity", "cos_similarity_cubed", "rank_reorder"])
+def test_concat_scoring_per_unit_independent(name):
+    """The non-wpmi fns are per-unit independent: applying them to the concatenation
+    must equal per-layer application (score_all_layers relies on this)."""
+    fn = get_similarity_fn(name)
+    rng = np.random.default_rng(8)
+    clip_feats = rng.normal(size=(60, 11)).astype(np.float32)
+    widths = [4, 7]
+    layers = [np.abs(rng.normal(size=(60, w))).astype(np.float32) for w in widths]
+    cat = np.concatenate(layers, axis=1)
+    got = np.asarray(fn(clip_feats, cat))
+    if name == "rank_reorder":
+        # rank_reorder derives per-unit PRNG keys from the unit's global position, so
+        # only the baseline scalar differs between concat and per-layer calls: compare
+        # per-unit concept rankings (what the pipeline consumes), not raw values.
+        want_rank = np.concatenate(
+            [np.argsort(-np.asarray(fn(clip_feats, tf)), axis=1) for tf in layers], axis=0
+        )
+        np.testing.assert_array_equal(np.argsort(-got, axis=1), want_rank)
+    else:
+        want = np.concatenate([np.asarray(fn(clip_feats, tf)) for tf in layers], axis=0)
+        np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-5)
+
+
+def test_score_all_layers_matches_single_layer(tmp_path):
+    from mammodissect.dissect.engine import (
+        get_similarity_from_activations,
+        score_all_layers,
+    )
+
+    rng = np.random.default_rng(9)
+    img = rng.normal(size=(50, 16)).astype(np.float32)
+    txt = rng.normal(size=(12, 16)).astype(np.float32)
+    np.save(tmp_path / "img.npy", img)
+    np.save(tmp_path / "txt.npy", txt)
+    feats = {f"blocks.{i}": np.abs(rng.normal(size=(50, w))).astype(np.float32)
+             for i, w in enumerate([6, 10, 6])}
+    sims = score_all_layers(
+        feats, str(tmp_path / "img.npy"), str(tmp_path / "txt.npy"), "soft_wpmi", top_k=15
+    )
+    for name, tf in feats.items():
+        np.save(tmp_path / "tf.npy", tf)
+        want, _ = get_similarity_from_activations(
+            str(tmp_path / "tf.npy"), str(tmp_path / "img.npy"), str(tmp_path / "txt.npy"),
+            soft_wpmi, top_k=15,
+        )
+        np.testing.assert_allclose(sims[name], want, atol=1e-5, rtol=1e-5)
