@@ -1,9 +1,14 @@
-"""Headline benchmark: Mammo-CLIP dissection throughput on one TPU chip.
+"""Headline benchmark: Mammo-CLIP dissection throughput on one TPU chip — a MEASURED
+full-scale run, not an extrapolation.
 
-Workload (BASELINE.md north-star): EfficientNet-B5 target at 1520x912 grayscale,
-pooled activations of ALL 39 MBConv blocks harvested in one jitted forward through the
-real engine path (`mammodissect.dissect.targets`), then soft-WPMI scoring of 762
-concepts for the widest layer.
+Workload (BASELINE.md north-star): 10,000-image D_probe at 1520x912 grayscale through
+the flagship M-dissect configuration — BreastClip (EfficientNet-B5 + 12-layer BERT)
+dissecting its own image tower, all 39 MBConv blocks, 762 concepts, soft-WPMI — via the
+engine's device-RESIDENT path: uint8 probe upload is the only per-batch relay traffic;
+pooled activations [10k, 6992] and projected embeddings accumulate on device; scoring
+(one segmented program across all 39 layers) and per-unit top-k run on device; the host
+receives only CSV-sized results. (This runtime's device->host relay is ~6 MB/s — 8x
+slower than upload — so the round-1 per-batch activation fetches were the hidden cost.)
 
 Prints ONE JSON line:
   {"metric": "dissect_images_per_sec_per_chip", "value": N, "unit": "img/s/chip",
@@ -13,10 +18,13 @@ full dissection < 5 min on v5e-8" => 33.3 img/s on 8 chips = 4.17 img/s/chip
 (`/root/repo/BASELINE.json`). R > 1.0 beats the target.
 
 Timing notes for this TPU runtime: block_until_ready is a no-op; completion is
-observed by the host fetch the engine does anyway (one packed buffer per batch)."""
+observed by host fetches of 1-element slices. Compile time is reported separately
+(persistent cache makes reruns start in seconds)."""
 from __future__ import annotations
 
 import json
+import os
+import sys
 import time
 
 import numpy as np
@@ -24,76 +32,156 @@ import numpy as np
 BASELINE_IMG_PER_SEC_PER_CHIP = 10_000 / 300 / 8  # 4.166..., see module docstring
 
 
+class CyclicProbe:
+    """10k-image probe backed by a smaller unique pool (host-RAM bound: 10k full-res
+    grayscale images are 13.9 GB). Every image still crosses the relay as its own
+    uint8 upload — transport and compute are measured honestly."""
+
+    def __init__(self, pool: np.ndarray, n: int, mean: float, std: float):
+        self.pool, self.n, self.mean, self.std = pool, n, mean, std
+
+    def __len__(self):
+        return self.n
+
+    @property
+    def image_shape(self):
+        return self.pool.shape[1:]
+
+    def image_u8(self, i: int) -> np.ndarray:
+        return self.pool[i % len(self.pool)]
+
+
 def main():
     from mammodissect.utils.jit_cache import enable_compilation_cache
 
     enable_compilation_cache()  # amortize the cold-compile across runs
 
-    import jax
     import jax.numpy as jnp
 
-    from mammodissect.data.probes import ArrayProbe
     from mammodissect.dissect.dissectors import get_dissector
-    from mammodissect.dissect.engine import _fused_harvest_embed
-    from mammodissect.ops.similarity import soft_wpmi
+    from mammodissect.dissect.engine import (
+        fused_harvest_embed_resident,
+        score_resident,
+    )
 
     h, w = 1520, 912
     batch_size = 64
-    n_images_bench = 256
+    n_images = int(os.environ.get("BENCH_N_IMAGES", 10_000))
+    sync_every = int(os.environ.get("BENCH_SYNC_EVERY", 4))
+    pool_n = min(n_images, 1024)
     n_concepts = 762
     layers = [f"blocks.{i}" for i in range(39)]
+    mean, std = 0.3089279, 0.25053555
 
-    # the flagship M-dissect configuration: BreastClip (B5 + BERT-12) dissecting its
-    # own image tower — the engine's fused path computes 39-layer activations AND
-    # probe embeddings in ONE bf16 forward per batch (north-star counts embed+harvest)
     dissector = get_dissector(
         "breastclip", image_shape=(h, w, 1), bert_layers=12, dtype=jnp.bfloat16
     )
-    rng = np.random.default_rng(0)
-    probe = ArrayProbe(
-        rng.integers(0, 256, size=(n_images_bench, h, w, 1), dtype=np.uint8),
-        mean=0.3089279, std=0.25053555,
-    )
+    def note(msg):
+        print(f"[bench {time.strftime('%T')}] {msg}", file=sys.stderr, flush=True)
 
-    # warmup/compile (includes the one-time remote-compile server warmup)
-    warm = ArrayProbe(probe.images[:batch_size], mean=probe.mean, std=probe.std)
+    note("generating pool")
+    rng = np.random.default_rng(0)
+    pool = np.frombuffer(rng.bytes(pool_n * h * w), np.uint8).reshape(pool_n, h, w, 1)
+
+    # warmup/compile: one chunk's worth through the resident step (the step program is
+    # probe-size independent — fixed-capacity chunks), includes remote-compile warmup
+    note("warmup/compile")
+    warm = CyclicProbe(pool, batch_size, mean, std)
     t0 = time.perf_counter()
-    _fused_harvest_embed(dissector, warm, layers, "avg", batch_size)
+    _, we, *_ = fused_harvest_embed_resident(dissector, warm, layers, "avg", batch_size)
+    _ = np.asarray(we[-1][0, :1])  # sync: remote compile completes asynchronously
+    vocab = int(dissector.module.vocab_size)
+    dissector.embed_tokens(
+        np.ones((n_concepts, 64), np.int32), np.ones((n_concepts, 64), np.int32)
+    )
     compile_s = time.perf_counter() - t0
 
-    # timed: the real fused engine pipeline (u8 wire + on-device normalize +
-    # double-buffered dispatch, activations + embeddings per pass)
+    # ---- chip-side compute rate: device-resident input, no wire ----
+    # the forward+embed throughput the chip itself sustains (what a real PCIe-attached
+    # host would see; this env's relay throttles to ~12-15 MB/s after a ~2.7 GB burst)
+    import jax
+
+    step, _names, _widths = dissector.fused_resident_step(
+        (batch_size, h, w, 1), layers, "avg", mean, std)
+    u8_dev = jax.device_put(
+        np.ascontiguousarray(pool[:batch_size]).reshape(-1))
+    acc_a = jnp.zeros((16 * batch_size, int(sum(_widths))), jnp.float32)
+    acc_e = jnp.zeros((16 * batch_size, int(dissector.module.proj_dim)), jnp.float32)
+    acc_a, acc_e = step(dissector.variables, acc_a, acc_e, u8_dev, jnp.int32(0))
+    _ = np.asarray(acc_e[0, :1])
+    n_chip_batches = 8
     t0 = time.perf_counter()
-    out, embs, n_images = _fused_harvest_embed(dissector, probe, layers, "avg",
-                                               batch_size)
+    for i in range(n_chip_batches):
+        acc_a, acc_e = step(dissector.variables, acc_a, acc_e, u8_dev,
+                            jnp.int32((i % 16) * batch_size))
+    _ = np.asarray(acc_e[0, :1])
+    chip_side_rate = n_chip_batches * batch_size / (time.perf_counter() - t0)
+    del acc_a, acc_e, u8_dev
+    note(f"chip-side forward+embed: {chip_side_rate:.1f} img/s")
+
+    # ---- timed: the real 10k-image harvest through the resident engine path ----
+    note(f"timed harvest of {n_images}")
+    probe = CyclicProbe(pool, n_images, mean, std)
+    t0 = time.perf_counter()
+    act_chunks, emb_chunks, names, widths, n_seen = fused_harvest_embed_resident(
+        dissector, probe, layers, "avg", batch_size, sync_every=sync_every, log=note
+    )
+    _ = np.asarray(emb_chunks[-1][0, :1])  # final sync
     harvest_s = time.perf_counter() - t0
-    harvest_rate = n_images / harvest_s
+    assert n_seen == n_images
 
-    # scoring stage: widest-layer units (block 38 -> 512 channels) x 762 concepts,
-    # 2000-image probe
-    target_feats = rng.normal(size=(2000, out["blocks.38"].shape[-1])).astype(np.float32)
-    clip_feats = rng.normal(size=(2000, n_concepts)).astype(np.float32)
-    _ = np.asarray(soft_wpmi(clip_feats, target_feats, top_k=100)[0, 0])
+    # ---- timed: concept-text embedding through the real BERT tower ----
     t0 = time.perf_counter()
-    _ = np.asarray(soft_wpmi(clip_feats, target_feats, top_k=100)[0, 0])
-    score_s = time.perf_counter() - t0
+    token_ids = rng.integers(1, vocab, size=(n_concepts, 64), dtype=np.int32)
+    attn = np.ones_like(token_ids)
+    text_feats = dissector.embed_tokens(token_ids, attn)
+    text_s = time.perf_counter() - t0
 
-    # end-to-end rate: harvest of n_images + soft-wpmi scoring of all 39 layers,
-    # scoring cost scaled from the measured 2000-image single-layer run
-    score_total = score_s * (n_images / 2000) * len(layers)
-    value = n_images / (harvest_s + score_total)
+    # ---- scoring: all 39 layers in ONE segmented program, on device ----
+    # first call pays the scorer compile (reported separately), second is the measure
+    note("scoring")
+    t0 = time.perf_counter()
+    score_resident(act_chunks, emb_chunks, n_images, text_feats, widths, "soft_wpmi")
+    score_compile_s = time.perf_counter() - t0
+    t0 = time.perf_counter()
+    top_vals, top_idx, img_idx = score_resident(
+        act_chunks, emb_chunks, n_images, text_feats, widths, "soft_wpmi"
+    )
+    score_s = time.perf_counter() - t0
+    assert top_idx.shape[0] == sum(widths) and np.isfinite(top_vals).all()
+
+    total_s = harvest_s + text_s + score_s
+    value = n_images / total_s
+
+    # v5e-8 projection (the north-star's actual hardware): each chip's host uploads
+    # n/8 of the probe (1.74 GB — inside this relay's ~2.7 GB fast phase at ~50 MB/s,
+    # and irrelevant on real PCIe hosts), compute runs DP-sharded (sharded harvest ==
+    # single-device, tests/test_sharded_harvest.py), scoring is one segmented program.
+    per_chip_images = 10_000 / 8  # the north-star workload, regardless of BENCH_N_IMAGES
+    per_chip_upload_s = per_chip_images * (h * w) / (50e6)
+    per_chip_compute_s = per_chip_images / chip_side_rate
+    v5e8_s = max(per_chip_upload_s, per_chip_compute_s) + text_s + score_s
     result = {
         "metric": "dissect_images_per_sec_per_chip",
         "value": round(float(value), 2),
         "unit": "img/s/chip",
         "vs_baseline": round(float(value / BASELINE_IMG_PER_SEC_PER_CHIP), 2),
         "detail": {
-            "fused_harvest_embed_img_per_s": round(harvest_rate, 2),
-            "soft_wpmi_s_per_layer_2k_imgs": round(score_s, 3),
+            "n_images_measured": n_images,
+            "harvest_s": round(harvest_s, 1),
+            "harvest_img_per_s": round(n_images / harvest_s, 2),
+            "chip_side_forward_img_per_s": round(float(chip_side_rate), 1),
+            "v5e8_projected_10k_wall_s": round(float(v5e8_s), 1),
+            "text_embed_s": round(text_s, 2),
+            "score_all_39_layers_s": round(score_s, 2),
+            "total_dissection_s": round(total_s, 1),
             "compile_s": round(compile_s, 1),
+            "score_compile_s": round(score_compile_s, 1),
             "image_size": [h, w],
             "batch_size": batch_size,
             "layers": len(layers),
+            "units": int(sum(widths)),
+            "concepts": n_concepts,
         },
     }
     print(json.dumps(result))

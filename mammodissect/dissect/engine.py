@@ -17,6 +17,7 @@ from __future__ import annotations
 import os
 import time
 from dataclasses import dataclass, field
+from functools import partial
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
@@ -346,6 +347,105 @@ def _fused_harvest_embed(dissector, probe, layers, pool_mode: str, batch_size: i
         drain_one()
     return ({l: np.concatenate(acc[l], axis=0) for l in layers},
             np.concatenate(emb_acc, axis=0), n_images)
+
+
+def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
+                                 batch_size: int, sync_every: int = 16,
+                                 chunk_batches: int = 16, log=None):
+    """Device-resident fused M-dissect harvest (see BreastClip.fused_resident_step).
+
+    Per batch the only relay traffic is the uint8 upload; activations+embeddings
+    accumulate in donated device buffers. The buffers are FIXED-capacity chunks of
+    `chunk_batches * batch_size` rows, so the compiled step program is independent of
+    probe size (one compile serves any D_probe; a fresh chunk is just new zeros).
+    A 1-element fetch every `sync_every` batches provides backpressure
+    (block_until_ready is a no-op on this runtime).
+    Returns (act_chunks, emb_chunks, names, widths, n_images) where the chunk lists
+    concatenate (on device, in `score_resident`) to [>=n, U_total]/[>=n, D] f32."""
+    import jax
+    import jax.numpy as jnp
+
+    h, w, c = probe.image_shape
+    shape = (batch_size, h, w, c)
+    step, names, widths = dissector.fused_resident_step(
+        shape, layers, pool_mode, probe.mean, probe.std)
+    u_total = int(sum(widths))
+    cap = chunk_batches * batch_size
+    emb_dim = int(dissector.module.proj_dim)
+
+    act_chunks, emb_chunks = [], []
+    acc_a = acc_e = None
+    n_images, offset, i_batch = 0, 0, 0
+    for u8, n_valid in _prefetch_u8_batches(probe, batch_size):
+        if acc_a is None:
+            acc_a = jnp.zeros((cap, u_total), jnp.float32)
+            acc_e = jnp.zeros((cap, emb_dim), jnp.float32)
+        flat = np.ascontiguousarray(u8).reshape(-1)
+        acc_a, acc_e = step(dissector.variables, acc_a, acc_e,
+                            jax.device_put(flat), jnp.int32(offset))
+        n_images += n_valid
+        offset += batch_size
+        i_batch += 1
+        if offset == cap:
+            act_chunks.append(acc_a)
+            emb_chunks.append(acc_e)
+            acc_a = acc_e = None
+            offset = 0
+        if i_batch % sync_every == 0:
+            probe_chunk = acc_e if acc_e is not None else emb_chunks[-1]
+            _ = np.asarray(probe_chunk[0, :1])  # backpressure: bound the queue
+            if log is not None:
+                log(f"[resident] {n_images}/{len(probe)} images")
+    if acc_a is not None:
+        act_chunks.append(acc_a)
+        emb_chunks.append(acc_e)
+    return act_chunks, emb_chunks, names, widths, n_images
+
+
+def score_resident(act_chunks, emb_chunks, n_images: int, text_features: np.ndarray,
+                   widths, similarity_name: str, top_k: int = 100,
+                   num_top_concepts: int = 10, num_top_images: int = 5):
+    """Stage 4 entirely ON DEVICE from resident accumulators: clip_feats = emb@text.T,
+    segmented scoring across all layers in one program, per-unit top-concepts and
+    top-activating-image indices via lax.top_k — the host receives only CSV-sized
+    arrays (the device->host relay runs ~6 MB/s, so fetching the raw [N, U_total]
+    matrix would cost more than the whole harvest).
+
+    Returns (top_vals [U, k_c], top_concept_idx [U, k_c], top_image_idx [U, k_i])."""
+    import jax
+    import jax.numpy as jnp
+    from jax import lax
+
+    from mammodissect.ops.similarity import SEGMENTED_FNS, get_similarity_fn
+
+    widths = [int(w) for w in widths]
+    segment_ids = np.repeat(np.arange(len(widths), dtype=np.int32), widths)
+
+    @partial(jax.jit, static_argnames=("sim_name", "k_c", "k_i", "kk"))
+    def _score(act_chunks, emb_chunks, text_f, seg_ids, sim_name, k_c, k_i, kk):
+        acts = jnp.concatenate(act_chunks, axis=0)[:n_images]
+        emb = jnp.concatenate(emb_chunks, axis=0)[:n_images]
+        emb = emb / jnp.clip(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+        txt = text_f / jnp.clip(jnp.linalg.norm(text_f, axis=1, keepdims=True), 1e-12)
+        clip_feats = jnp.dot(emb, txt.T, preferred_element_type=jnp.float32,
+                             precision=lax.Precision.HIGHEST)
+        if sim_name in SEGMENTED_FNS:
+            kwargs = {"top_k": kk} if sim_name == "soft_wpmi" else {}
+            sim = SEGMENTED_FNS[sim_name](clip_feats, acts, seg_ids, len(widths), **kwargs)
+        else:
+            sim = get_similarity_fn(sim_name)(clip_feats, acts)
+        top_vals, top_idx = lax.top_k(sim, k_c)
+        _, img_idx = lax.top_k(acts.T, k_i)
+        return top_vals, top_idx, img_idx
+
+    k_c = min(num_top_concepts, int(text_features.shape[0]))
+    k_i = min(num_top_images, n_images)
+    kk = min(top_k, n_images)
+    top_vals, top_idx, img_idx = _score(
+        list(act_chunks), list(emb_chunks), jnp.asarray(text_features, jnp.float32),
+        jnp.asarray(segment_ids), similarity_name, k_c, k_i, kk,
+    )
+    return np.asarray(top_vals), np.asarray(top_idx), np.asarray(img_idx)
 
 
 def get_target_activations(target_save_name: str, neuron_idx=None) -> np.ndarray:

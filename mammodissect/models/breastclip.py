@@ -343,6 +343,74 @@ class BreastClip:
         packed, emb = fn(self.variables, jax.device_put(flat, dat))
         return packed, emb, names, widths
 
+    def fused_resident_step(self, sample_shape, layers, pool_mode: str,
+                            mean: float, std: float):
+        """Device-RESIDENT fused M-dissect step (single-device).
+
+        Returns (step, names, widths) where
+          step(variables, acc_acts, acc_emb, u8_flat, offset) -> (acc_acts, acc_emb)
+        forwards one uint8 batch and writes its pooled per-block activations and
+        projected embeddings into the donated accumulators at row `offset`
+        (a traced int32 — no recompile per batch). Rationale: this runtime's
+        device->host fetch path is ~8x slower than upload, so the round-1 per-batch
+        activation fetches dominated harvest wall-clock; resident mode keeps the
+        [N, U_total] matrix on device end-to-end and scoring (`engine.score_resident`)
+        fetches only CSV-sized results."""
+        from mammodissect.dissect.capture import canonical_layer_name, layer_index
+
+        canon = [canonical_layer_name(l) for l in layers]
+        capture = tuple(sorted({layer_index(c) for c in canon}))
+        shape = tuple(sample_shape)
+        key = ("resident_step", capture, pool_mode, shape, float(mean), float(std))
+        if key not in self._jit_cache:
+
+            def raw(v, u8_flat):
+                u8 = u8_flat.reshape(shape)
+                x = u8.astype(jnp.float32) / 255.0
+                lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
+                hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+                x = jnp.where(hi > lo, (x - lo) / (hi - lo), 0.0)
+                x = (x - mean) / std
+                pooled, captured = self.module.apply(
+                    v, x, train=False, capture=capture, pool_mode=pool_mode,
+                    method=BreastClipModule.encode_image,
+                )
+                emb = self.module.apply(v, pooled, method=BreastClipModule.project_image)
+                return captured, emb
+
+            flat_spec = jax.ShapeDtypeStruct((int(np.prod(shape)),), jnp.uint8)
+            shapes, _ = jax.eval_shape(raw, self.variables, flat_spec)
+            names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
+            widths = tuple(int(shapes[k].shape[-1]) for k in names)
+
+            def step(v, acc_acts, acc_emb, u8_flat, offset):
+                captured, emb = raw(v, u8_flat)
+                packed = jnp.concatenate(
+                    [captured[k].astype(jnp.float32) for k in names], axis=-1
+                )
+                acc_acts = jax.lax.dynamic_update_slice(acc_acts, packed, (offset, 0))
+                acc_emb = jax.lax.dynamic_update_slice(
+                    acc_emb, emb.astype(jnp.float32), (offset, 0)
+                )
+                return acc_acts, acc_emb
+
+            self._jit_cache[key] = (jax.jit(step, donate_argnums=(1, 2)), names, widths)
+        return self._jit_cache[key]
+
+    def embed_tokens(self, input_ids, attention_mask) -> np.ndarray:
+        """Projected + L2-normalized text embeddings from pre-tokenized ids
+        (the text half of `utils.py:390-414` without the tokenizer)."""
+        fn = self._jitted(
+            "embed_txt",
+            lambda v, i, m: self.module.apply(
+                v, self.module.apply(v, i, m, method=BreastClipModule.encode_text),
+                method=BreastClipModule.project_text,
+            ),
+        )
+        return np.asarray(
+            fn(self.variables, jnp.asarray(input_ids), jnp.asarray(attention_mask))
+        )
+
     def embed_texts(self, texts) -> np.ndarray:
         """Dissector interface: tokenized + eos-pooled + projected + normalized
         (`utils.py:390-414` save_clip_vindr_text_features)."""

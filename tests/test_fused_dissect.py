@@ -69,3 +69,56 @@ def test_fused_path_runs_and_matches_two_stage(setup, tmp_path):
     ef = np.load(paths_f["clip"])
     es = np.load(paths_s["clip"])
     np.testing.assert_allclose(ef, es, rtol=1e-4, atol=1e-4)
+
+
+def test_resident_matches_staged(setup):
+    """Device-resident fused dissect (accumulate on device, score on device, fetch only
+    CSV-sized results) must reproduce the staged path's top concepts/values/images."""
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import (
+        _fused_harvest_embed,
+        fused_harvest_embed_resident,
+        score_all_layers,
+        score_resident,
+    )
+
+    probe, small = setup
+    layers = [f"blocks.{i}" for i in range(8)]
+    d = get_dissector("breastclip", **small)
+    rng = np.random.default_rng(1)
+    text_feats = rng.normal(size=(9, 32)).astype(np.float32)
+
+    # staged: per-batch fetch + host concat + (host-loaded) one-program scoring
+    feats, emb, n1 = _fused_harvest_embed(d, probe, layers, "avg", batch_size=8)
+
+    act_chunks, emb_chunks, names, widths, n2 = fused_harvest_embed_resident(
+        d, probe, layers, "avg", batch_size=8, sync_every=2, chunk_batches=1)
+    assert n1 == n2 == len(probe)
+    assert names == layers
+    assert len(act_chunks) == 2  # 12 images / (1 batch * 8) capacity -> 2 chunks
+    # accumulators hold the same activations/embeddings (padded rows beyond n are zero)
+    packed_host = np.concatenate([feats[l] for l in layers], axis=1)
+    got_a = np.concatenate([np.asarray(c) for c in act_chunks], axis=0)[:n2]
+    got_e = np.concatenate([np.asarray(c) for c in emb_chunks], axis=0)[:n2]
+    np.testing.assert_allclose(got_a, packed_host, rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(got_e, emb, rtol=1e-4, atol=1e-4)
+
+    top_vals, top_idx, img_idx = score_resident(
+        act_chunks, emb_chunks, n2, text_feats, widths, "soft_wpmi",
+        top_k=10, num_top_concepts=3, num_top_images=4)
+
+    # reference: staged scoring on host-normalized features
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as td:
+        np.save(os.path.join(td, "img.npy"), emb)
+        np.save(os.path.join(td, "txt.npy"), text_feats)
+        sims = score_all_layers(
+            feats, os.path.join(td, "img.npy"), os.path.join(td, "txt.npy"),
+            "soft_wpmi", top_k=10)
+    want_sim = np.concatenate([sims[l] for l in layers], axis=0)
+    want_idx = np.argsort(-want_sim, axis=1, kind="stable")[:, :3]
+    np.testing.assert_array_equal(top_idx, want_idx)
+    np.testing.assert_allclose(
+        top_vals, np.take_along_axis(want_sim, want_idx, axis=1), rtol=1e-4, atol=1e-4)
+    want_img = np.argsort(-packed_host, axis=0, kind="stable")[:4].T
+    np.testing.assert_array_equal(img_idx, want_img)
