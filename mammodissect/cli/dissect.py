@@ -52,6 +52,10 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--device", type=str, default=None,
                    help="accepted for reference-flag compatibility; ignored (JAX "
                         "selects the TPU/CPU backend)")
+    p.add_argument("--resident", action="store_true",
+                   help="device-resident fused M-dissect: accumulate + score on "
+                        "device, fetch only CSV-sized results (skips the disk-staged "
+                        "activation cache; fastest on slow-fetch runtimes)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace (Perfetto/XProf) to this dir")
     p.add_argument("--debug_nans", action="store_true",
@@ -89,6 +93,7 @@ def main(argv=None):
         probe_kwargs=json.loads(args.probe_kwargs),
         target_kwargs=json.loads(args.target_kwargs),
         dissector_kwargs=json.loads(args.dissector_kwargs),
+        resident=args.resident,
     )
     if args.debug_nans:
         from mammodissect.utils.profiling import enable_debug_nans

@@ -94,6 +94,13 @@ class DissectConfig:
     probe_kwargs: dict = field(default_factory=dict)
     target_kwargs: dict = field(default_factory=dict)
     dissector_kwargs: dict = field(default_factory=dict)
+    # device-resident fused M-dissect: activations+embeddings accumulate on device and
+    # scoring runs there too; only CSV-sized results cross the wire. Trades the
+    # disk-staged cache (resume point) for minimal relay traffic — the fast path on
+    # runtimes with slow device->host fetch. Falls back to the staged path when the
+    # target isn't the dissector's own image tower (or under a >1-device mesh, where
+    # the sharded staged harvest applies).
+    resident: bool = False
 
 
 def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None,
@@ -557,10 +564,68 @@ def score_all_layers(
     return out
 
 
+def _run_dissection_resident(cfg: DissectConfig, probe=None, target=None,
+                             dissector=None, log=print):
+    """Fully device-resident M-dissect (see DissectConfig.resident). Returns
+    (DataFrame, csv_path) or None when the configuration can't run resident."""
+    if not (cfg.target_model.startswith("breastclip")
+            and cfg.clip_model.startswith("breastclip")
+            and not cfg.finetuned_ckpt and target is None):
+        return None
+    mesh = auto_data_mesh()
+    if mesh is not None and data_parallel_size(mesh) > 1:
+        return None
+    probe = probe or get_probe(cfg.d_probe, **cfg.probe_kwargs)
+    if not (hasattr(probe, "image_u8") and hasattr(probe, "mean")):
+        return None
+    dk = dict(cfg.dissector_kwargs)
+    dk.setdefault("ckpt_path", cfg.breast_clip_ckpt)
+    dissector = dissector or get_dissector(cfg.clip_model, **dk)
+    if not hasattr(dissector, "fused_resident_step"):
+        return None
+
+    words = read_concepts(cfg.concept_set)
+    layers = [canonical_layer_name(l) for l in cfg.target_layers]
+    t0 = time.time()
+    act_chunks, emb_chunks, names, widths, n_images = fused_harvest_embed_resident(
+        dissector, probe, layers, cfg.pool_mode, cfg.batch_size)
+    text_feats = dissector.embed_texts(words)
+    top_vals, top_idx, img_idx = score_resident(
+        act_chunks, emb_chunks, n_images, text_feats, widths, cfg.similarity_fn,
+        top_k=cfg.top_k, num_top_concepts=cfg.num_top_concepts,
+        num_top_images=cfg.num_top_images)
+    log(f"[resident] dissected {n_images} images x {len(names)} layers on device "
+        f"in {time.time()-t0:.1f}s")
+
+    row_slices, off = {}, 0
+    for name, w in zip(names, widths):
+        row_slices[name] = slice(off, off + w)
+        off += w
+    outputs = {"layer": [], "unit": [], "description": [], "similarity": [], "images": []}
+    for layer in layers:  # CSV rows follow the requested layer order (staged parity)
+        sl = row_slices[layer]
+        w = sl.stop - sl.start
+        outputs["layer"].extend([layer] * w)
+        outputs["unit"].extend(range(w))
+        outputs["description"].extend(
+            [[words[int(i)] for i in row] for row in top_idx[sl]])
+        outputs["similarity"].extend([row.tolist() for row in top_vals[sl]])
+        outputs["images"].extend([row.tolist() for row in img_idx[sl]])
+    return write_results(outputs, cfg)
+
+
 def run_dissection(cfg: DissectConfig, probe=None, target=None, dissector=None, log=print):
     """Full driver (reference `describe_broad_neurons.py.__main__`): harvest + score every
     layer, emit the results CSV `{layer, unit, description, similarity, images}` and an
     args.txt metadata dump. Returns (DataFrame, csv_path)."""
+    if cfg.resident:
+        out = _run_dissection_resident(cfg, probe=probe, target=target,
+                                       dissector=dissector, log=log)
+        if out is not None:
+            return out
+        log("[resident] not applicable (non-fused target or multi-device mesh); "
+            "using the staged path")
+
     paths = save_activations(cfg, probe=probe, target=target, dissector=dissector, log=log)
     words = read_concepts(cfg.concept_set)
 

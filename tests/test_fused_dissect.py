@@ -122,3 +122,36 @@ def test_resident_matches_staged(setup):
         top_vals, np.take_along_axis(want_sim, want_idx, axis=1), rtol=1e-4, atol=1e-4)
     want_img = np.argsort(-packed_host, axis=0, kind="stable")[:4].T
     np.testing.assert_array_equal(img_idx, want_img)
+
+
+def test_run_dissection_resident_csv_matches_staged(setup, tmp_path, monkeypatch):
+    """--resident end-to-end: the CSV must match the staged pipeline's CSV."""
+    import pandas as pd
+
+    import mammodissect.dissect.engine as engine
+    from mammodissect.dissect.engine import DissectConfig, run_dissection
+
+    # resident mode is single-device; the test env's 8-CPU virtual mesh would make it
+    # fall back to the (sharded) staged path
+    monkeypatch.setattr(engine, "auto_data_mesh", lambda: None)
+    probe, small = setup
+    base = dict(target_model="breastclip", clip_model="breastclip",
+                target_layers=["blocks.0", "blocks.3"], d_probe="synthetic_u8",
+                concept_set="tests/assets/tiny_concepts.txt", batch_size=8,
+                dissector_kwargs=small, num_top_concepts=3, num_top_images=4)
+
+    logs = []
+    cfg_r = DissectConfig(activation_dir=str(tmp_path / "ra"),
+                          result_dir=str(tmp_path / "rr"), resident=True, **base)
+    df_r, _ = run_dissection(cfg_r, probe=probe, log=logs.append)
+    assert any("[resident] dissected" in str(l) for l in logs), logs
+    assert not (tmp_path / "ra").exists() or not list((tmp_path / "ra").glob("*.npy"))
+
+    cfg_s = DissectConfig(activation_dir=str(tmp_path / "sa"),
+                          result_dir=str(tmp_path / "sr"), **base)
+    df_s, _ = run_dissection(cfg_s, probe=probe, log=logs.append)
+
+    pd.testing.assert_frame_equal(
+        df_r.drop(columns=["similarity"]), df_s.drop(columns=["similarity"]))
+    for a, b in zip(df_r["similarity"], df_s["similarity"]):
+        np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
