@@ -185,6 +185,58 @@ def _breastclip_encoder(ckpt_path: str | None = None, variant: str = "efficientn
     return EfficientNetTarget(model, variables)
 
 
+class SwinTarget:
+    """Dissect a Swin-towered Mammo-CLIP image encoder's stages ('layers.i') — the
+    reference's `load_image_encoder` swin option (`model/modules/__init__.py:14-33`);
+    3-D stage outputs pool by the CLS-free token-mean rule (`utils.py:27-52`)."""
+
+    def __init__(self, variant: str = "swin-tiny", in_channels: int = 3,
+                 patch_size: int = 4, window: int = 7, input_size: int = 224,
+                 seed: int = 0, hf_ckpt: str | None = None, spec: dict | None = None,
+                 ckpt_path: str | None = None, **_):
+        hf_ckpt = hf_ckpt or ckpt_path
+        from mammodissect.models.swin import SWIN_SPECS, SwinEncoder, swin_torch_to_flax
+
+        if spec:  # custom geometry (tests / small drives)
+            SWIN_SPECS.setdefault(variant, dict(spec))
+        self.model = SwinEncoder(variant=variant, patch_size=patch_size,
+                                 window=window, in_channels=in_channels)
+        self.variables = jax.jit(self.model.init)(
+            jax.random.PRNGKey(seed),
+            jnp.ones((1, input_size, input_size, in_channels), jnp.float32),
+        )
+        if hf_ckpt:
+            import torch
+
+            from mammodissect.utils.torch_convert import merge_into
+
+            raw = torch.load(hf_ckpt, map_location="cpu", weights_only=False)
+            if hasattr(raw, "state_dict"):
+                raw = raw.state_dict()
+            sd = {k: v.detach().cpu().numpy() for k, v in raw.items()
+                  if hasattr(v, "detach")}
+            prefix = "swin." if any(k.startswith("swin.") for k in sd) else ""
+            converted = swin_torch_to_flax(sd, prefix=prefix)
+            params, mm = merge_into(self.variables["params"], converted)
+            self.variables = {**self.variables, "params": params}
+            mm = [m for m in mm if m[0] == "shape"]
+            if mm:
+                print(f"[swin] strict=False load: {len(mm)} shape-mismatched")
+        self._jit = {}
+
+    def harvest(self, images: np.ndarray, layers, pool_mode: str = "avg"):
+        capture = tuple(sorted({int(str(l).split(".")[-1]) for l in layers}))
+        key = (capture, pool_mode)
+        if key not in self._jit:
+            self._jit[key] = jax.jit(lambda v, x: self.model.apply(
+                v, x, capture=capture, pool_mode=pool_mode)[1])
+        out = self._jit[key](self.variables, jnp.asarray(images))
+        return {k: np.asarray(v) for k, v in out.items()}
+
+
+TARGETS.register("breastclip_swin", SwinTarget)
+
+
 @TARGETS.register("breastclip_classifier")
 def _breastclip_classifier(ckpt_path: str | None = None, finetuned_ckpt: str | None = None,
                            num_class: int = 1, arch: str = "upmc_breast_clip_det_b5_period_n_ft",

@@ -188,7 +188,8 @@ def _register():
         if name not in TARGETS:
             TARGETS.register(name, lambda **kw: ViTTarget(
                 **{k: v for k, v in kw.items()
-                   if k in ("ckpt_path", "input_size", "seed")}))
+                   if k in ("ckpt_path", "input_size", "seed", "image_size",
+                            "patch_size", "width", "layers", "heads", "in_channels")}))
 
 
 _register()
