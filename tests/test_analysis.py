@@ -67,3 +67,49 @@ def test_domain_counts(df):
     counts = concept_domain_counts(out, ["c0"], threshold_col="Threshold_met")
     row = counts[counts["layer"] == "blocks.0"].iloc[0]
     assert row["domain"] == 1 and row["other"] == 1  # units 0 (c0) and 2 (c2) pass
+
+
+def test_figure4_rendering(tmp_path):
+    """figures.fig4a/b/c render the Figure4.ipynb panels from postprocess frames
+    to PNG artifacts (reference `Plots/Figure4.ipynb` cells 7-9)."""
+    pytest.importorskip("matplotlib")
+    import pandas as pd
+
+    from mammodissect.analysis.figures import (
+        fig4a_layer_means,
+        fig4b_domain_counts,
+        fig4c_top_categories,
+    )
+    from mammodissect.analysis.postprocess import (
+        add_local_threshold,
+        concept_domain_counts,
+        layer_mean_similarity,
+        load_descriptions_csv,
+        map_categories,
+        top_categories_per_layer,
+    )
+
+    rows = []
+    for li, layer in enumerate(["blocks.0", "blocks.1", "blocks.2"]):
+        for u in range(6):
+            c = ["mass", "dog", "sky", "calcification", "tree", "grass"][u]
+            rows.append(dict(layer=layer, unit=u,
+                             description=str([c, "x"]),
+                             similarity=str([0.5 + 0.1 * u + 0.01 * li, 0.1]),
+                             images=str([0, 1])))
+    df = load_descriptions_csv(pd.DataFrame(rows))
+    df = add_local_threshold(df)
+    df = map_categories(df, {"mass": "Findings", "calcification": "Findings",
+                             "dog": "Animals", "sky": "Nature", "tree": "Nature",
+                             "grass": "Nature"})
+
+    p_a = tmp_path / "fig4a.png"
+    fig4a_layer_means({"M": layer_mean_similarity(df),
+                       "G": layer_mean_similarity(df) * 0.9}, str(p_a))
+    p_b = tmp_path / "fig4b.png"
+    fig4b_domain_counts(
+        concept_domain_counts(df, ["mass", "calcification"]), str(p_b))
+    p_c = tmp_path / "fig4c.png"
+    fig4c_top_categories(top_categories_per_layer(df), str(p_c))
+    for p in (p_a, p_b, p_c):
+        assert p.exists() and p.stat().st_size > 2000

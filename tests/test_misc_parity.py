@@ -79,3 +79,34 @@ def test_cli_top1_mode(tmp_path):
 
     assert len(ast.literal_eval(df.iloc[0]["description"])) == 1
     assert len(ast.literal_eval(df.iloc[0]["images"])) == 3
+
+
+def test_default_embedders_out_of_the_box():
+    """get_cos_similarity runs with NO injected embedders (reference
+    `utils.py:618-646` defaults: CLIP text tower + sentence encoder -> in-repo
+    towers): identical texts score 1.0 under both, disjoint texts score lower."""
+    from mammodissect.dissect.evalmetrics import default_text_embedder, get_cos_similarity
+
+    clip_emb = default_text_embedder(
+        "clip", vision_width=32, vision_layers=1, vision_heads=2, text_width=32,
+        text_layers=1, text_heads=2, image_size=32, patch_size=16, embed_dim=16)
+    bert_emb = default_text_embedder("bert", bert_layers=1)
+
+    preds = ["calcification", "mass", "dog"]
+    same = get_cos_similarity(preds, list(preds), clip_embedder=clip_emb,
+                              sentence_embedder=bert_emb)
+    assert same[0] == pytest.approx(1.0, abs=1e-5)
+    assert same[1] == pytest.approx(1.0, abs=1e-5)
+    diff = get_cos_similarity(preds, ["sky", "tree", "building"],
+                              clip_embedder=clip_emb, sentence_embedder=bert_emb)
+    assert diff[0] < same[0] and diff[1] < same[1]
+
+    # sentence-transformers duck-typing: objects with .encode slot into the role
+    class Enc:
+        def encode(self, texts):
+            rng = np.random.default_rng(0)
+            return np.stack([rng.normal(size=8) for _ in texts])
+
+    both = get_cos_similarity(preds, list(preds), clip_embedder=clip_emb,
+                              sentence_embedder=Enc())
+    assert both[1] == pytest.approx(1.0, abs=1e-5)
