@@ -62,6 +62,7 @@ class BreastClipModule(nn.Module):
     image_tower: str = "cnn"  # cnn | swin | vit (`model_config["image_encoder"]["model_type"]`)
     in_channels: int = 3
     image_pooling: str = "avg"  # '-detect' avg-pool; "gem" for timm-style encoders
+    s2d_stem: bool = False  # space-to-depth stem fast path (models/efficientnet.py)
     text_pooling: str = "eos"
     proj_dim: int = 512
     proj_head: str = "linear"
@@ -93,7 +94,7 @@ class BreastClipModule(nn.Module):
         else:
             self.image_encoder = EfficientNetMammo(
                 variant=self.image_variant, in_channels=self.in_channels,
-                pooling=self.image_pooling, dtype=self.dtype,
+                pooling=self.image_pooling, s2d_stem=self.s2d_stem, dtype=self.dtype,
             )
         self.text_encoder = BertEncoder(
             vocab_size=self.vocab_size,
@@ -207,6 +208,7 @@ class BreastClip:
             image_tower=ie.get("model_type", "cnn"),
             in_channels=ie.get("in_channels", 3),
             image_pooling=ie.get("pooling", "avg" if name.endswith("-detect") else "gem"),
+            s2d_stem=bool(ie.get("s2d_stem", False)),
             text_pooling=te.get("pooling", "eos"),
             proj_dim=ph.get("proj_dim", 512),
             proj_head=ph.get("name", "linear"),

@@ -244,6 +244,59 @@ class MBConvBlock(nn.Module):
         return x
 
 
+class StemConv(nn.Module):
+    """The 3x3/s2 stem conv with an optional SPACE-TO-DEPTH fast path.
+
+    With C_in as low as 1-3 channels a 3x3 conv uses 9-27 of the MXU's 128 input
+    lanes and streams the full-resolution tensor from HBM. When enabled (and the
+    input dims are even with the (0,1) pad the B5 static chain produces at
+    1520x912), the input is rearranged [B,H,W,C] -> [B,H/2,W/2,4C] and the kernel
+    is scattered into an equivalent 2x2/s1 conv — bit-identical outputs, 4x the
+    input-channel occupancy, half the spatial extent per dim. The parameter stays
+    the canonical [3,3,C,F] HWIO layout (checkpoint converters untouched)."""
+
+    features: int
+    padding: Any  # explicit ((t,b),(l,r)) tuple or "SAME"
+    s2d: bool = False
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c_in = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (3, 3, c_in, self.features),
+            jnp.float32,
+        )
+        h, w = int(x.shape[1]), int(x.shape[2])
+        pad = self.padding
+        if pad == "SAME":  # TF-SAME for k3/s2: (0,1) on even dims, (1,1) on odd
+            pad = tuple(((0, 1) if d % 2 == 0 else (1, 1)) for d in (h, w))
+        if self.s2d and h % 2 == 0 and w % 2 == 0 and pad == ((0, 1), (0, 1)):
+            # strided slices + concat, NOT a 6-D reshape: on TPU the (…, 2, …, 2, C)
+            # intermediate would materialize with (8,128)-tile padding (~16x blowup)
+            xs = jnp.concatenate(
+                [x[:, u::2, v::2] for u in (0, 1) for v in (0, 1)], axis=-1
+            )  # channel layout (u, v, c), c fastest
+            # scatter k[di,dj] -> ks[p,q,(u,v)] with di=2p+u, dj=2q+v (zero at di/dj=3)
+            ks = jnp.zeros((2, 2, 2, 2, c_in, self.features), kernel.dtype)
+            for p in range(2):
+                for q in range(2):
+                    for u in range(2):
+                        for v in range(2):
+                            if 2 * p + u < 3 and 2 * q + v < 3:
+                                ks = ks.at[p, q, u, v].set(kernel[2 * p + u, 2 * q + v])
+            # s2d channel layout (u, v, c), fastest-varying c — matches xs reshape
+            ks = ks.reshape(2, 2, 4 * c_in, self.features)
+            return jax.lax.conv_general_dilated(
+                xs.astype(self.dtype), ks.astype(self.dtype), (1, 1),
+                ((0, 1), (0, 1)), dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+        return jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (2, 2), tuple(pad),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+
+
 class EfficientNet(nn.Module):
     """EfficientNet backbone with dissection capture.
 
@@ -263,6 +316,7 @@ class EfficientNet(nn.Module):
     # input-size SAME (XLA native; == the reference's dynamic-padding variant).
     pad_mode: str = "static"
     pad_size: Any = None  # int or (h, w); None -> variant resolution (square)
+    s2d_stem: bool = False  # space-to-depth stem fast path (see StemConv)
     remat: bool = False  # rematerialize MBConv blocks (jax.checkpoint): trades ~30%
     # backward FLOPs for O(depth) less activation HBM — enables larger fine-tune
     # batches at 1520x912 (the TPU analogue of torch gradient checkpointing)
@@ -357,12 +411,10 @@ class EfficientNet(nn.Module):
                 dtype=self.dtype,
             )
 
-        x = nn.Conv(
+        x = StemConv(
             stem_filters,
-            (3, 3),
-            strides=(2, 2),
             padding=stem_pad,
-            use_bias=False,
+            s2d=self.s2d_stem,
             name="stem_conv",
             dtype=self.dtype,
         )(x)
@@ -410,6 +462,7 @@ class EfficientNetMammo(nn.Module):
     pooling: str = "avg"  # "avg" | "gem"
     bn_momentum: float = 0.99
     pad_mode: str = "static"
+    s2d_stem: bool = False
     remat: bool = False
     dtype: Any = jnp.float32
 
@@ -417,7 +470,7 @@ class EfficientNetMammo(nn.Module):
         self.backbone = EfficientNet(
             variant=self.variant, in_channels=self.in_channels,
             bn_momentum=self.bn_momentum, pad_mode=self.pad_mode,
-            remat=self.remat, dtype=self.dtype,
+            s2d_stem=self.s2d_stem, remat=self.remat, dtype=self.dtype,
         )
         if self.pooling == "gem":
             self.pool = GeM()

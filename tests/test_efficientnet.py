@@ -96,3 +96,27 @@ def test_odd_input_sizes_supported():
     variables = model.init(jax.random.PRNGKey(0), x)
     feats, _ = model.apply(variables, x)
     assert feats.shape[0] == 1 and feats.shape[-1] == 1280
+
+
+def test_s2d_stem_parity():
+    """Space-to-depth stem == plain stem, bit-level (same params, rearranged compute;
+    the MXU-occupancy fast path must not change any number)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammodissect.models.efficientnet import EfficientNet
+
+    x = np.random.default_rng(0).normal(size=(2, 64, 48, 3)).astype(np.float32)
+    plain = EfficientNet(variant="efficientnet-b0", in_channels=3, pad_mode="same")
+    fast = EfficientNet(variant="efficientnet-b0", in_channels=3, pad_mode="same",
+                        s2d_stem=True)
+    v = jax.jit(plain.init)(jax.random.PRNGKey(0), jnp.asarray(x))
+    want, _ = jax.jit(lambda vv, xx: plain.apply(vv, xx))(v, jnp.asarray(x))
+    got, _ = jax.jit(lambda vv, xx: fast.apply(vv, xx))(v, jnp.asarray(x))
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=1e-5, rtol=1e-5)
+
+    # odd input dims fall back to the plain conv (still identical)
+    x_odd = x[:, :63, :47]
+    w2, _ = jax.jit(lambda vv, xx: plain.apply(vv, xx))(v, jnp.asarray(x_odd))
+    g2, _ = jax.jit(lambda vv, xx: fast.apply(vv, xx))(v, jnp.asarray(x_odd))
+    np.testing.assert_allclose(np.asarray(g2), np.asarray(w2), atol=1e-5, rtol=1e-5)
