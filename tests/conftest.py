@@ -20,3 +20,12 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Persistent compilation cache for the CPU test suite: e2e tests are compile-bound on
+# this 1-CPU host (round-1 suite ~35 min); caching makes every rerun start warm.
+# Machine-local cache dir — the cross-machine SIGILL caveat doesn't apply.
+_test_cache = os.path.join(os.path.expanduser("~"), ".cache", "mammodissect", "xla-tests")
+os.makedirs(_test_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _test_cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
