@@ -42,6 +42,42 @@ class Probe:
         return None
 
 
+class HostShardedProbe(Probe):
+    """This process's contiguous shard of a probe — the DistributedSampler-per-rank
+    replacement for real multi-host runs (`Datasets/dataset_utils.py:236-251`).
+
+    Shards are balanced by padding the per-host count to ceil(n/count) (last shard
+    repeats its final image, like DistributedSampler's wrap padding); callers trim
+    the gathered result to the true total (`parallel.multihost.gather_predictions`)."""
+
+    def __init__(self, probe: Probe, index: int | None = None, count: int | None = None):
+        import jax
+
+        self.base = probe
+        self.index = jax.process_index() if index is None else index
+        self.count = jax.process_count() if count is None else count
+        self.per_host = -(-len(probe) // self.count)
+        self.image_shape = probe.image_shape
+        for attr in ("mean", "std"):
+            if hasattr(probe, attr):
+                setattr(self, attr, getattr(probe, attr))
+
+    def __len__(self):
+        return self.per_host
+
+    def _base_index(self, i: int) -> int:
+        return min(self.index * self.per_host + i, len(self.base) - 1)
+
+    def image(self, i):
+        return self.base.image(self._base_index(i))
+
+    def label(self, i):
+        return self.base.label(self._base_index(i))
+
+    def image_u8(self, i):
+        return self.base.image_u8(self._base_index(i))
+
+
 @dataclass
 class ArrayProbe(Probe):
     """In-memory probe (synthetic data, tests, benchmarks)."""

@@ -274,12 +274,30 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
     target here if the caller didn't already) and batch_size rounds up to a multiple
     of the device count.
 
+    Real multi-host runs (jax.process_count() > 1 with a host-spanning mesh): the
+    probe auto-wraps in a per-process HostShardedProbe, every process dispatches its
+    local slice of each global batch (`make_array_from_process_local_data` in
+    `_put_batch`), and the fetched activations are process-allgathered then trimmed
+    to the true probe length — the DistributedSampler + all_gather-and-trim shape of
+    the reference (`experiments.py:554-564`).
+
     Returns ({layer: [N, C] float32}, n_images)."""
     from collections import deque
+
+    import jax
 
     if getattr(target, "mesh", None) is None and hasattr(target, "set_mesh"):
         _attach_mesh(target, auto_data_mesh())
     batch_size = _round_batch(batch_size, getattr(target, "mesh", None))
+
+    n_procs = jax.process_count()
+    n_total = len(probe)
+    if n_procs > 1:
+        from mammodissect.data.probes import HostShardedProbe
+
+        if not isinstance(probe, HostShardedProbe):
+            probe = HostShardedProbe(probe)
+        batch_size = max(batch_size // n_procs, 1)  # local slice of the global batch
 
     use_u8 = (
         hasattr(target, "harvest_u8_dispatch")
@@ -304,12 +322,22 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
 
     pending = deque()
 
+    if n_procs > 1:
+        from jax.experimental import multihost_utils
+
+        def _fetch(dev):
+            return np.asarray(multihost_utils.process_allgather(dev, tiled=True))
+    else:
+        _fetch = np.asarray
+
     def drain_one():
         dev, n_valid, names, widths = pending.popleft()
-        packed = np.asarray(dev)
+        packed = _fetch(dev)
         off = 0
         for name, w in zip(names, widths):
-            acc[name].append(packed[: n_valid, off : off + w])
+            # multi-host: keep the full global batch; per-host tails untangle below
+            rows = packed[:, off : off + w] if n_procs > 1 else packed[:n_valid, off : off + w]
+            acc[name].append(rows)
             off += w
 
     for u8, n_valid in _prefetch_u8_batches(probe, batch_size):
@@ -321,6 +349,18 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
             drain_one()
     while pending:
         drain_one()
+
+    if n_procs > 1:
+        # global batches interleave host slices [b][h][local_bs]; restore probe order
+        # (host shards are contiguous ranges) then trim wrap padding to n_total
+        out = {}
+        for l in layers:
+            a = np.stack(acc[l])  # [n_batches, n_procs*local_bs, C]
+            nb, gb, cdim = a.shape
+            a = (a.reshape(nb, n_procs, gb // n_procs, cdim)
+                 .transpose(1, 0, 2, 3).reshape(n_procs, nb * (gb // n_procs), cdim))
+            out[l] = a[:, : len(probe)].reshape(-1, cdim)[:n_total]
+        return out, n_total
     return {l: np.concatenate(acc[l], axis=0) for l in layers}, n_images
 
 

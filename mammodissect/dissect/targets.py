@@ -62,6 +62,12 @@ class EfficientNetTarget:
 
     def _put_batch(self, flat_or_batch):
         _, dat = self._shardings()
+        if dat is not None and jax.process_count() > 1:
+            # real multi-host: each process contributes its local slice of the global
+            # batch (device_put cannot target non-addressable devices) — the
+            # DistributedSampler-upload analogue (`Datasets/dataset_utils.py:236-251`)
+            return jax.make_array_from_process_local_data(
+                dat, np.asarray(flat_or_batch))
         return jax.device_put(flat_or_batch, dat)  # dat=None -> default device
 
     def _fn(self, capture: tuple, pool_mode: str, sample_shape: tuple):
@@ -150,7 +156,10 @@ class EfficientNetTarget:
         upload/compute/fetch pipeline in the engine."""
         canon = [canonical_layer_name(l) for l in layers]
         capture = tuple(sorted({layer_index(c) for c in canon}))
-        fn, names, widths = self._fn_u8(capture, pool_mode, tuple(images_u8.shape),
+        # multi-host: `images_u8` is this process's local slice of a global batch —
+        # the compiled program's shape is the GLOBAL batch
+        shape = (images_u8.shape[0] * jax.process_count(),) + tuple(images_u8.shape[1:])
+        fn, names, widths = self._fn_u8(capture, pool_mode, shape,
                                         float(mean), float(std))
         flat = np.ascontiguousarray(images_u8).reshape(-1)
         return fn(self.variables, self._put_batch(flat)), names, widths
