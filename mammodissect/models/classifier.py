@@ -89,6 +89,8 @@ def arch_variant(arch: str) -> str:
 
     if "efficientnetv2" in arch or "_v2" in arch:
         return "efficientnetv2-s"
+    if "_test_" in arch or arch.endswith("_test"):
+        return "efficientnet-test"  # 7-block smoke-test variant
     m = re.search(r"_b([0-7])(_|$)", arch)
     if m:
         return f"efficientnet-b{m.group(1)}"

@@ -81,6 +81,9 @@ EFFICIENTNET_PARAMS: Dict[str, Tuple[float, float, int, float]] = {
     "efficientnet-b5": (1.6, 2.2, 456, 0.4),
     "efficientnet-b6": (1.8, 2.6, 528, 0.5),
     "efficientnet-b7": (2.0, 3.1, 600, 0.5),
+    # 7-block smoke-test variant (1 block/stage, minimal widths): same architecture
+    # family, ~2.3x less graph to trace than b0 — for tests and quick sanity runs
+    "efficientnet-test": (0.35, 0.1, 64, 0.2),
 }
 
 

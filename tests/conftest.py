@@ -29,3 +29,16 @@ os.makedirs(_test_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _test_cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
 jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+
+
+import pytest as _pytest
+
+
+@_pytest.fixture(autouse=True, scope="module")
+def _clear_jax_caches_between_modules():
+    """JAX's in-process program/trace caches accumulate across the ~190-test suite and
+    progressively slow late modules (measured: test_resume 126 s standalone vs 552 s
+    at the end of a full run). Dropping the caches per module keeps dispatch flat;
+    recompiles are absorbed by the persistent disk cache above."""
+    yield
+    jax.clear_caches()

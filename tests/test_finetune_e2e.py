@@ -43,7 +43,7 @@ def base_cfg(synth_data, tmp_path, **kw):
     csv, root = synth_data
     defaults = dict(
         csv_file=csv, data_dir=root, dataset="vindr", label="cancer",
-        arch="test_b0_ft", epochs=2, batch_size=8, lr=1e-3, warmup_epochs=0,
+        arch="t_test_ft", epochs=2, batch_size=8, lr=1e-3, warmup_epochs=0,
         img_size=(32, 24), checkpoints=str(tmp_path / "ckpt"),
         output_path=str(tmp_path / "out"), tensorboard_path=str(tmp_path / "tb"),
         dtype="float32", print_freq=1000, seed=1,

@@ -32,7 +32,7 @@ def data(tmp_path_factory):
 def cfg_for(data, tmp_path, **kw):
     csv, root = data
     base = dict(csv_file=csv, data_dir=root, dataset="vindr", label="cancer",
-                arch="t_b0_ft", epochs=1, batch_size=8, lr=1e-3, warmup_epochs=0,
+                arch="t_test_ft", epochs=1, batch_size=8, lr=1e-3, warmup_epochs=0,
                 img_size=(32, 24), dtype="float32", checkpoints=str(tmp_path / "ck"),
                 output_path=str(tmp_path / "o"), tensorboard_path=str(tmp_path / "tb"),
                 train_eval=False, print_freq=1000)
@@ -64,7 +64,7 @@ def test_linear_probe_freezes_encoder(data, tmp_path):
     from mammodissect.models.classifier import frozen_param_labels
     from mammodissect.train.trainer import Trainer, make_optimizer
 
-    cfg = cfg_for(data, tmp_path, arch="t_b0_lp")
+    cfg = cfg_for(data, tmp_path, arch="t_test_lp")
     module, variables = build_model(cfg)
     labels = frozen_param_labels(variables["params"], True)
     tx = make_optimizer(1e-2, 0.0, 0, 10, param_labels=labels)

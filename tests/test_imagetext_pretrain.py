@@ -85,7 +85,7 @@ def test_pretrain_loop_e2e(multiview_data, tmp_path):
     ds = ImageTextDataset(df, root=root, size_hw=(32, 24), prompt_json=PROMPTS, seed=1)
     cfg = PretrainConfig(
         epochs=2, batch_size=8, lr=1e-3, warmup_steps=2, img_size=(32, 24),
-        image_variant="efficientnet-b0", bert_layers=2, model_parallel=2,
+        image_variant="efficientnet-test", bert_layers=2, model_parallel=2,
         checkpoints=str(tmp_path / "ck"), tensorboard_path=str(tmp_path / "tb"),
         dtype="float32", log_freq=1, text_max_length=16,
     )

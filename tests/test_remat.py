@@ -10,7 +10,7 @@ def test_remat_grads_match():
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 32, 32, 1))
 
     def loss_for(remat):
-        model = EfficientNet(variant="efficientnet-b0", in_channels=1, remat=remat)
+        model = EfficientNet(variant="efficientnet-test", in_channels=1, remat=remat)
         variables = model.init(jax.random.PRNGKey(1), x)
 
         def loss_fn(params):
@@ -21,7 +21,9 @@ def test_remat_grads_match():
             )
             return jnp.sum(feats**2)
 
-        return jax.grad(loss_fn)(variables["params"])
+        # jit the grad: eager per-op CPU execution of a 16-block backward is ~2 min;
+        # the jitted program is also served by the persistent test cache
+        return jax.jit(jax.grad(loss_fn))(variables["params"])
 
     g_plain = loss_for(False)
     g_remat = loss_for(True)

@@ -30,7 +30,7 @@ def data(tmp_path_factory):
 def test_resume_continues_training(data, tmp_path):
     csv, root = data
     common = dict(csv_file=csv, data_dir=root, dataset="vindr", label="cancer",
-                  arch="t_b0_ft", batch_size=8, lr=1e-3, warmup_epochs=0,
+                  arch="t_test_ft", batch_size=8, lr=1e-3, warmup_epochs=0,
                   img_size=(32, 24), dtype="float32", train_eval=False,
                   bn_momentum=0.7, print_freq=1000, seed=3,
                   output_path=str(tmp_path / "o"),
