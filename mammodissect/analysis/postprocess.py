@@ -73,14 +73,47 @@ def add_global_threshold(df_a: pd.DataFrame, df_b: pd.DataFrame):
 
 def load_category_map(path: str) -> Dict[str, str]:
     """{concept: category} from a categories JSON ({category: [concepts]} layout like
-    `data/dataset/seven_broad_categories.json`) or a 2-column CSV."""
+    `data/dataset/seven_broad_categories.json`), an .xlsx category workbook
+    (`Concepts/Extended_Breast_text_categories.xlsx` — column headers are the
+    categories, cell 16 semantics), or a 2-column CSV."""
     if path.endswith(".json"):
         with open(path) as f:
             data = json.load(f)
         return {c: cat for cat, concepts in data.items() for c in concepts}
+    if path.endswith((".xlsx", ".xlsm")):
+        cat_map, _broad = load_workbook_category_maps(path)
+        return cat_map
     df = pd.read_csv(path)
     cols = list(df.columns[:2])
     return dict(zip(df[cols[0]], df[cols[1]]))
+
+
+def load_workbook_category_maps(path: str):
+    """Parse a category workbook into ({concept: Category}, {concept: Broad_category}).
+
+    Walks sheets then columns in workbook order with later assignments overriding
+    earlier ones — exactly the double loop of `process_result_csvs.ipynb` cell 16
+    (column header -> 'Category', sheet name -> 'Broad_categories')."""
+    from mammodissect.utils.xlsx import load_workbook_columns
+
+    cat_map: Dict[str, str] = {}
+    broad_map: Dict[str, str] = {}
+    for sheet_name, columns in load_workbook_columns(path).items():
+        for column, values in columns.items():
+            for concept in values:
+                cat_map[str(concept)] = column
+                broad_map[str(concept)] = sheet_name
+    return cat_map, broad_map
+
+
+def map_concepts_to_categories(df: pd.DataFrame, workbook_path: str) -> pd.DataFrame:
+    """Add Category + Broad_categories columns from the workbook (cell 16 headless).
+    Unmatched concepts stay None, as in the notebook."""
+    cat_map, broad_map = load_workbook_category_maps(workbook_path)
+    df = df.copy()
+    df["Category"] = df["Top_concept"].map(lambda c: cat_map.get(c))
+    df["Broad_categories"] = df["Top_concept"].map(lambda c: broad_map.get(c))
+    return df
 
 
 def map_categories(df: pd.DataFrame, category_map: Dict[str, str],

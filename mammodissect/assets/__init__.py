@@ -49,3 +49,11 @@ def prompts_path(all_variants: bool = False) -> str:
 
 def category_workbook_path() -> str:
     return asset_path("concepts/Extended_Breast_text_categories.xlsx")
+
+
+def clip_bpe_vocab_path() -> str:
+    """The standard CLIP BPE merges file the reference vendors
+    (`concept_vit/clip/bpe_simple_vocab_16e6.txt.gz`, loaded unconditionally by its
+    tokenizer at `simple_tokenizer.py:62-75`) — copied byte-identical so out-of-the-box
+    G-dissect concept tokenization matches the reference token-for-token."""
+    return asset_path("clip/bpe_simple_vocab_16e6.txt.gz")

@@ -132,10 +132,14 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
     # and half the host->device traffic of the two separate stages.
     missing_layers = [l for l in layers if not os.path.exists(target_paths[l])]
     clip_missing = not os.path.exists(paths["clip"])
+    # exact-match gate: "breastclip_swin"/"breastclip_classifier" targets capture
+    # different layer keys than the CNN dissector tower, and target_kwargs would be
+    # silently dropped by this path — both must fall through to the staged harvest
     if (
         (missing_layers or clip_missing)
-        and cfg.target_model.startswith("breastclip")
-        and cfg.clip_model.startswith("breastclip")
+        and cfg.target_model == "breastclip"
+        and cfg.clip_model == "breastclip"
+        and not cfg.target_kwargs
         and not cfg.finetuned_ckpt
         and target is None
         and hasattr(probe, "image_u8")
@@ -291,13 +295,17 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
     batch_size = _round_batch(batch_size, getattr(target, "mesh", None))
 
     n_procs = jax.process_count()
-    n_total = len(probe)
     if n_procs > 1:
         from mammodissect.data.probes import HostShardedProbe
 
         if not isinstance(probe, HostShardedProbe):
             probe = HostShardedProbe(probe)
+        # the true probe length, not the per-host shard length, is what the gathered
+        # result trims to — a pre-wrapped probe must not truncate the global harvest
+        n_total = len(probe.base)
         batch_size = max(batch_size // n_procs, 1)  # local slice of the global batch
+    else:
+        n_total = len(probe)
 
     use_u8 = (
         hasattr(target, "harvest_u8_dispatch")
@@ -318,7 +326,19 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
             for l in captured:
                 acc[canonical_layer_name(l)].append(captured[l][: batch.n_valid])
             n_images += batch.n_valid
-        return {l: np.concatenate(acc[l], axis=0) for l in layers}, n_images
+        local = {l: np.concatenate(acc[l], axis=0) for l in layers}
+        if n_procs > 1:
+            # host shards are contiguous equal-length ranges (wrap-padded), so a
+            # tiled allgather concatenates them back in probe order; trim the tail
+            # padding to the true total (`experiments.py:554-564` gather-and-trim)
+            from jax.experimental import multihost_utils
+
+            return (
+                {l: np.asarray(multihost_utils.process_allgather(local[l], tiled=True))
+                 [:n_total] for l in layers},
+                n_total,
+            )
+        return local, n_images
 
     pending = deque()
 
@@ -608,8 +628,9 @@ def _run_dissection_resident(cfg: DissectConfig, probe=None, target=None,
                              dissector=None, log=print):
     """Fully device-resident M-dissect (see DissectConfig.resident). Returns
     (DataFrame, csv_path) or None when the configuration can't run resident."""
-    if not (cfg.target_model.startswith("breastclip")
-            and cfg.clip_model.startswith("breastclip")
+    if not (cfg.target_model == "breastclip"
+            and cfg.clip_model == "breastclip"
+            and not cfg.target_kwargs
             and not cfg.finetuned_ckpt and target is None):
         return None
     mesh = auto_data_mesh()

@@ -442,6 +442,19 @@ def _breastclip_dissector(ckpt_path=None, vocab_file=None, image_shape=(1520, 91
         tok = WordPieceTokenizer(vocab_file=vocab_file)
         vocab_size = len(tok.vocab)
     else:
+        # zero-egress: the real Bio_ClinicalBERT WordPiece vocab can't be fetched, so
+        # the fallback is a chars-only toy vocab — loudly, so a canonical M-dissect
+        # can't run with unfaithful text embeddings silently (the reference tokenizes
+        # with the HF Bio_ClinicalBERT tokenizer, `model/clip.py:81-101`)
+        import warnings
+
+        warnings.warn(
+            "breastclip dissector built WITHOUT vocab_file: falling back to a "
+            "chars-only toy WordPiece vocab — concept tokenization will NOT match "
+            "Bio_ClinicalBERT. Pass vocab_file=<path to vocab.txt> for "
+            "reference-faithful text embeddings.",
+            stacklevel=2,
+        )
         tok = WordPieceTokenizer.toy()
         vocab_size = len(tok.vocab)
     return BreastClip.create(

@@ -298,9 +298,11 @@ class OpenAIClip:
 
     def tokenize(self, texts):
         if self.tokenizer is None:
+            # canonical CLIP BPE from the vendored merges vocab — token-for-token the
+            # reference's `clip.tokenize` (`clip/clip.py:196-232`)
             from mammodissect.models.tokenizers import ClipBPETokenizer
 
-            self.tokenizer = ClipBPETokenizer.toy()
+            self.tokenizer = ClipBPETokenizer.default()
         return self.tokenizer(texts)
 
     def embed_images(self, images) -> np.ndarray:

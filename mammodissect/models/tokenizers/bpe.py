@@ -150,5 +150,31 @@ class ClipBPETokenizer:
 
     @classmethod
     def toy(cls):
-        """Deterministic small-merge tokenizer for tests (chars-only BPE, no merges)."""
+        """Deterministic small-merge tokenizer for tests (chars-only BPE, no merges).
+
+        NOT reference-faithful — emits a loud warning so a canonical dissection can't
+        silently run with unfaithful concept tokenization (use `default()` instead)."""
+        import warnings
+
+        warnings.warn(
+            "ClipBPETokenizer.toy(): chars-only BPE with no merges — concept "
+            "tokenization will NOT match OpenAI CLIP. Use ClipBPETokenizer.default() "
+            "(vendored bpe_simple_vocab_16e6.txt.gz) for reference-faithful tokens.",
+            stacklevel=2,
+        )
         return cls(merges=[])
+
+    @classmethod
+    def default(cls) -> "ClipBPETokenizer":
+        """The canonical CLIP tokenizer, loading the vendored merges vocab (same file
+        the reference ships and loads unconditionally, `simple_tokenizer.py:62-75`).
+        Cached: building the 49,408-entry encoder once per process."""
+        global _DEFAULT_TOKENIZER
+        if _DEFAULT_TOKENIZER is None:
+            from mammodissect.assets import clip_bpe_vocab_path
+
+            _DEFAULT_TOKENIZER = cls(merges_file=clip_bpe_vocab_path())
+        return _DEFAULT_TOKENIZER
+
+
+_DEFAULT_TOKENIZER: "ClipBPETokenizer | None" = None

@@ -290,8 +290,11 @@ SIMILARITY_FNS = {
 # Entry points for scoring MANY layers' concatenated units in ONE program. Only the
 # wpmi family couples units through log p(d)'s per-layer logsumexp and needs explicit
 # segmentation; the other three are per-unit independent (column-wise normalize /
-# center / rank), so the plain fn applied to the [N, U_total] concatenation already
-# equals the per-layer results.
+# center / rank), so the plain fn on the [N, U_total] concatenation matches the
+# per-layer results — exactly for cos/cos³; for rank_reorder up to each unit's random
+# baseline scalar (the per-unit PRNG stream depends on the unit's global position, so
+# raw CSV values differ from per-layer scoring while rankings are invariant — what
+# test_concat_scoring_per_unit_independent asserts).
 SEGMENTED_FNS = {
     "soft_wpmi": soft_wpmi_segmented,
     "wpmi": wpmi_segmented,

@@ -113,3 +113,42 @@ def test_figure4_rendering(tmp_path):
     fig4c_top_categories(top_categories_per_layer(df), str(p_c))
     for p in (p_a, p_b, p_c):
         assert p.exists() and p.stat().st_size > 2000
+
+
+def test_workbook_category_maps_from_vendored_xlsx():
+    """The vendored Extended_Breast_text_categories.xlsx parses into a usable
+    concept -> Category / Broad_categories mapping (process_result_csvs cell 16),
+    with no external Excel dependency (stdlib zip+XML reader)."""
+    from mammodissect.assets import category_workbook_path, concept_set_path
+    from mammodissect.analysis.postprocess import (
+        load_category_map,
+        load_workbook_category_maps,
+        map_concepts_to_categories,
+    )
+
+    cat_map, broad_map = load_workbook_category_maps(category_workbook_path())
+    assert set(cat_map) == set(broad_map)
+    assert len(cat_map) > 500  # 6 sheets, 24 category columns, ~700 concepts
+    # the 6 reference sheet names all appear as Broad_categories values
+    sheets = set(broad_map.values())
+    assert {"Breast_anatomy_or_structure", "Breast_locations", "Interpretations",
+            "Action or follow up", "Environmental_and_Natural"} <= sheets
+    # spot-checks against the workbook's known layout
+    assert broad_map["breast"] == "Breast_anatomy_or_structure"
+    assert cat_map["breast"] == "Breast Structures or Anatomy"
+
+    # most of the canonical 763 concepts are categorized by the workbook
+    with open(concept_set_path()) as f:
+        concepts = [w for w in f.read().split("\n") if w.strip()]
+    covered = sum(c in cat_map for c in concepts)
+    assert covered > 400, f"only {covered}/763 concepts categorized"
+
+    # load_category_map's xlsx branch returns the Category map
+    assert load_category_map(category_workbook_path()) == cat_map
+
+    # headless cell-16: both columns added, unmatched stays None
+    df = pd.DataFrame({"Top_concept": ["breast", "no-such-concept"]})
+    out = map_concepts_to_categories(df, category_workbook_path())
+    assert out.loc[0, "Category"] == "Breast Structures or Anatomy"
+    assert out.loc[0, "Broad_categories"] == "Breast_anatomy_or_structure"
+    assert pd.isna(out.loc[1, "Category"])
