@@ -1,14 +1,22 @@
 """Headline benchmark: Mammo-CLIP dissection throughput on one TPU chip — a MEASURED
-full-scale run, not an extrapolation.
+full-scale run that ALWAYS publishes a number.
 
 Workload (BASELINE.md north-star): 10,000-image D_probe at 1520x912 grayscale through
 the flagship M-dissect configuration — BreastClip (EfficientNet-B5 + 12-layer BERT)
 dissecting its own image tower, all 39 MBConv blocks, 762 concepts, soft-WPMI — via the
 engine's device-RESIDENT path: uint8 probe upload is the only per-batch relay traffic;
-pooled activations [10k, 6992] and projected embeddings accumulate on device; scoring
+pooled activations [N, 6992] and projected embeddings accumulate on device; scoring
 (one segmented program across all 39 layers) and per-unit top-k run on device; the host
 receives only CSV-sized results. (This runtime's device->host relay is ~6 MB/s — 8x
-slower than upload — so the round-1 per-batch activation fetches were the hidden cost.)
+slower than upload — so per-batch activation fetches would be the hidden cost.)
+
+Deadline discipline (the round-2 run was killed by the driver before printing):
+  * BENCH_DEADLINE_S (default 1020 s) is a wall-clock budget from process start; the
+    harvest loop stops at the next batch boundary once ~90 s of scoring reserve
+    remains, and the run scores the N images it actually harvested.
+  * every completed chunk spills to BENCH_CACHE_DIR (background thread), so even a
+    hard kill leaves a resumable record, and partial-progress JSON goes to stderr.
+  * stdout carries exactly ONE final JSON line.
 
 Prints ONE JSON line:
   {"metric": "dissect_images_per_sec_per_chip", "value": N, "unit": "img/s/chip",
@@ -30,6 +38,7 @@ import time
 import numpy as np
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 10_000 / 300 / 8  # 4.166..., see module docstring
+T_PROC = time.monotonic()
 
 
 class CyclicProbe:
@@ -51,11 +60,39 @@ class CyclicProbe:
         return self.pool[i % len(self.pool)]
 
 
+def note(msg):
+    print(f"[bench {time.strftime('%T')}] {msg}", file=sys.stderr, flush=True)
+
+
+def partial_record(**kw):
+    """Parseable progress record in the stderr tail: even a hard kill leaves a
+    measured number on the record (stdout stays reserved for the ONE final line)."""
+    print(json.dumps({"partial": True, **kw}), file=sys.stderr, flush=True)
+
+
+def summarize_timing(timing, tail_n=64):
+    """Transport diagnostics: where per-batch time goes, overall and in the tail
+    (the round-2 run decayed 32 -> ~3 img/s late; this localizes upload-throttle vs
+    dispatch vs sync growth)."""
+    if not timing:
+        return {}
+    def agg(rows):
+        out = {}
+        for k in ("assemble_s", "put_s", "step_s", "sync_s"):
+            v = np.array([r[k] for r in rows])
+            out[k] = {"mean": round(float(v.mean()), 4),
+                      "p90": round(float(np.percentile(v, 90)), 4),
+                      "total": round(float(v.sum()), 1)}
+        return out
+    return {"all": agg(timing), f"last_{tail_n}": agg(timing[-tail_n:])}
+
+
 def main():
     from mammodissect.utils.jit_cache import enable_compilation_cache
 
     enable_compilation_cache()  # amortize the cold-compile across runs
 
+    import jax
     import jax.numpy as jnp
 
     from mammodissect.dissect.dissectors import get_dissector
@@ -68,16 +105,20 @@ def main():
     batch_size = 64
     n_images = int(os.environ.get("BENCH_N_IMAGES", 10_000))
     sync_every = int(os.environ.get("BENCH_SYNC_EVERY", 4))
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1020))
+    score_reserve_s = float(os.environ.get("BENCH_SCORE_RESERVE_S", 90))
+    cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/mammodissect_bench_cache")
     pool_n = min(n_images, 1024)
     n_concepts = 762
     layers = [f"blocks.{i}" for i in range(39)]
     mean, std = 0.3089279, 0.25053555
 
+    import warnings
+
+    warnings.filterwarnings("ignore", message=".*toy WordPiece.*")
     dissector = get_dissector(
         "breastclip", image_shape=(h, w, 1), bert_layers=12, dtype=jnp.bfloat16
     )
-    def note(msg):
-        print(f"[bench {time.strftime('%T')}] {msg}", file=sys.stderr, flush=True)
 
     note("generating pool")
     rng = np.random.default_rng(0)
@@ -99,8 +140,6 @@ def main():
     # ---- chip-side compute rate: device-resident input, no wire ----
     # the forward+embed throughput the chip itself sustains (what a real PCIe-attached
     # host would see; this env's relay throttles to ~12-15 MB/s after a ~2.7 GB burst)
-    import jax
-
     step, _names, _widths = dissector.fused_resident_step(
         (batch_size, h, w, 1), layers, "avg", mean, std)
     u8_dev = jax.device_put(
@@ -118,17 +157,64 @@ def main():
     chip_side_rate = n_chip_batches * batch_size / (time.perf_counter() - t0)
     del acc_a, acc_e, u8_dev
     note(f"chip-side forward+embed: {chip_side_rate:.1f} img/s")
+    partial_record(stage="warmup_done", compile_s=round(compile_s, 1),
+                   chip_side_forward_img_per_s=round(float(chip_side_rate), 1),
+                   elapsed_s=round(time.monotonic() - T_PROC, 1))
 
-    # ---- timed: the real 10k-image harvest through the resident engine path ----
-    note(f"timed harvest of {n_images}")
+    # ---- timed: the 10k-image harvest through the resident engine path, bounded by
+    # the wall-clock budget; completed chunks spill to the cache (resume on rerun) ----
+    harvest_deadline = T_PROC + deadline_s - score_reserve_s
+    note(f"timed harvest of {n_images} "
+         f"(budget {harvest_deadline - time.monotonic():.0f}s)")
     probe = CyclicProbe(pool, n_images, mean, std)
+    cache_key = f"bench_{n_images}x{h}x{w}_b{batch_size}"
+    timing: list = []
+
+    last = {"n": 0, "t": time.perf_counter()}
+
+    def harvest_log(msg):
+        note(msg)
+        if "/" in msg and "[resident]" in msg:  # progress line: attach stride rate
+            try:
+                seen = int(msg.split("]")[1].split("/")[0])
+            except (ValueError, IndexError):
+                return
+            now = time.perf_counter()
+            dn, dt = seen - last["n"], now - last["t"]
+            if dn > 0 and last["n"] > 0:
+                tail = summarize_timing(timing[-sync_every:], tail_n=sync_every)
+                stride = tail.get(f"last_{sync_every}", {})
+                note(f"  stride: {dn / dt:.1f} img/s | "
+                     + " ".join(f"{k}={v['mean']:.3f}s" for k, v in stride.items()))
+            last["n"], last["t"] = seen, now
+
     t0 = time.perf_counter()
     act_chunks, emb_chunks, names, widths, n_seen = fused_harvest_embed_resident(
-        dissector, probe, layers, "avg", batch_size, sync_every=sync_every, log=note
+        dissector, probe, layers, "avg", batch_size, sync_every=sync_every,
+        log=harvest_log, cache_dir=cache_dir, cache_key=cache_key,
+        deadline=harvest_deadline, timing=timing,
     )
+    if not timing and n_seen:
+        # a previous run's cache fully covered the probe: nothing was measured. Wipe
+        # and re-harvest within the remaining budget — the published rate must come
+        # from THIS run's transport+compute, not from disk.
+        import shutil
+
+        note("cache fully covers the probe; re-measuring with a fresh harvest")
+        shutil.rmtree(cache_dir, ignore_errors=True)
+        t0 = time.perf_counter()
+        act_chunks, emb_chunks, names, widths, n_seen = fused_harvest_embed_resident(
+            dissector, probe, layers, "avg", batch_size, sync_every=sync_every,
+            log=harvest_log, cache_dir=cache_dir, cache_key=cache_key,
+            deadline=harvest_deadline, timing=timing,
+        )
     _ = np.asarray(emb_chunks[-1][0, :1])  # final sync
     harvest_s = time.perf_counter() - t0
-    assert n_seen == n_images
+    n_fresh = len(timing) * batch_size  # images actually forwarded THIS run
+    n_resumed = n_seen - min(n_fresh, n_seen)
+    partial_record(stage="harvest_done", n_images=n_seen, n_resumed=n_resumed,
+                   harvest_s=round(harvest_s, 1),
+                   elapsed_s=round(time.monotonic() - T_PROC, 1))
 
     # ---- timed: concept-text embedding through the real BERT tower ----
     t0 = time.perf_counter()
@@ -138,25 +224,32 @@ def main():
     text_s = time.perf_counter() - t0
 
     # ---- scoring: all 39 layers in ONE segmented program, on device ----
-    # first call pays the scorer compile (reported separately), second is the measure
+    # first call pays the scorer compile (reported separately); the hoisted jitted
+    # scorer makes the second call a pure cache hit (measured)
     note("scoring")
     t0 = time.perf_counter()
-    score_resident(act_chunks, emb_chunks, n_images, text_feats, widths, "soft_wpmi")
+    score_resident(act_chunks, emb_chunks, n_seen, text_feats, widths, "soft_wpmi")
     score_compile_s = time.perf_counter() - t0
     t0 = time.perf_counter()
     top_vals, top_idx, img_idx = score_resident(
-        act_chunks, emb_chunks, n_images, text_feats, widths, "soft_wpmi"
+        act_chunks, emb_chunks, n_seen, text_feats, widths, "soft_wpmi"
     )
     score_s = time.perf_counter() - t0
     assert top_idx.shape[0] == sum(widths) and np.isfinite(top_vals).all()
 
+    # e2e rate over the images actually processed THIS run (resumed chunks came from
+    # disk, not the wire — counting them would inflate the measured rate)
+    n_rate = max(n_fresh if n_resumed else n_seen, 1)
+    harvest_rate = min(n_rate, n_seen) / harvest_s
     total_s = harvest_s + text_s + score_s
-    value = n_images / total_s
+    value = min(n_rate, n_seen) / total_s
 
     # v5e-8 projection (the north-star's actual hardware): each chip's host uploads
     # n/8 of the probe (1.74 GB — inside this relay's ~2.7 GB fast phase at ~50 MB/s,
-    # and irrelevant on real PCIe hosts), compute runs DP-sharded (sharded harvest ==
-    # single-device, tests/test_sharded_harvest.py), scoring is one segmented program.
+    # and irrelevant on real PCIe hosts), compute runs DP-sharded over Mesh('data')
+    # through the SAME resident path (sharded accumulators — dryrun_multichip runs it;
+    # tests/test_fused_dissect.py asserts sharded==single-device), scoring is one
+    # segmented SPMD program.
     per_chip_images = 10_000 / 8  # the north-star workload, regardless of BENCH_N_IMAGES
     per_chip_upload_s = per_chip_images * (h * w) / (50e6)
     per_chip_compute_s = per_chip_images / chip_side_rate
@@ -167,9 +260,12 @@ def main():
         "unit": "img/s/chip",
         "vs_baseline": round(float(value / BASELINE_IMG_PER_SEC_PER_CHIP), 2),
         "detail": {
-            "n_images_measured": n_images,
+            "n_images_measured": n_seen,
+            "n_images_resumed_from_cache": n_resumed,
+            "deadline_s": deadline_s,
+            "deadline_hit": n_seen < n_images,
             "harvest_s": round(harvest_s, 1),
-            "harvest_img_per_s": round(n_images / harvest_s, 2),
+            "harvest_img_per_s": round(float(harvest_rate), 2),
             "chip_side_forward_img_per_s": round(float(chip_side_rate), 1),
             "v5e8_projected_10k_wall_s": round(float(v5e8_s), 1),
             "text_embed_s": round(text_s, 2),
@@ -177,6 +273,7 @@ def main():
             "total_dissection_s": round(total_s, 1),
             "compile_s": round(compile_s, 1),
             "score_compile_s": round(score_compile_s, 1),
+            "batch_timing": summarize_timing(timing),
             "image_size": [h, w],
             "batch_size": batch_size,
             "layers": len(layers),

@@ -275,6 +275,17 @@ def get_probe(spec: str, **kw) -> Probe:
         return ConcatProbe([get_probe(p, **kw) for p in parts])
     if spec == "synthetic":
         return synthetic_probe(**{k: v for k, v in kw.items() if k in ("n", "h", "w", "c", "seed")})
+    if spec == "synthetic_u8":
+        # uint8 variant with the mammography normalization constants: exercises the
+        # u8-wire fast paths (staged + resident) from the CLI with no external data
+        rng = np.random.default_rng(kw.get("seed", 0))
+        n, h = kw.get("n", 64), kw.get("h", 64)
+        w, c = kw.get("w", 64), kw.get("c", 1)
+        return ArrayProbe(
+            rng.integers(0, 256, size=(n, h, w, c), dtype=np.uint8),
+            rng.integers(0, 10, size=n),
+            mean=kw.get("mean", 0.3089279), std=kw.get("std", 0.25053555),
+        )
     if spec.startswith("folder:"):
         root = spec[len("folder:"):]
         shape = tuple(kw.get("image_shape") or (224, 224, 3))
@@ -341,6 +352,6 @@ def _cifar_probe(spec: str, data_root: str = "./data_cache", **kw) -> ArrayProbe
     return ArrayProbe(imgs.astype(np.float32), np.asarray(ds.targets))
 
 
-PROBES = ("synthetic", "folder:<path>", "txt:<file>", "csv:<file>", "vindr", "csaw",
+PROBES = ("synthetic", "synthetic_u8", "folder:<path>", "txt:<file>", "csv:<file>", "vindr", "csaw",
           "csaw_all_splits", "embed_png", "embed_marker_84", "embed_marker_only",
           "combined:<a>+<b>", "cifar100_train", "cifar100_val")

@@ -232,9 +232,10 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
     return paths
 
 
-def _prefetch_u8_batches(probe, batch_size: int, depth: int = 2):
+def _prefetch_u8_batches(probe, batch_size: int, depth: int = 2, start: int = 0):
     """Background-thread u8 batch assembly: image decode+resize (host) overlaps the
-    previous batch's device work — the TPU-side analogue of DataLoader workers."""
+    previous batch's device work — the TPU-side analogue of DataLoader workers.
+    `start` skips already-harvested images (chunk-level resume)."""
     import queue
     import threading
 
@@ -244,12 +245,12 @@ def _prefetch_u8_batches(probe, batch_size: int, depth: int = 2):
 
     def producer():
         try:
-            for start in range(0, n, batch_size):
-                stop = min(start + batch_size, n)
+            for start_ in range(start, n, batch_size):
+                stop = min(start_ + batch_size, n)
                 u8 = np.zeros((batch_size, h, w_, c), np.uint8)
-                for j, i in enumerate(range(start, stop)):
+                for j, i in enumerate(range(start_, stop)):
                     u8[j] = probe.image_u8(i)
-                q.put((u8, stop - start))
+                q.put((u8, stop - start_))
         except Exception as e:  # surface loader errors to the consumer
             q.put(e)
             return
@@ -416,9 +417,118 @@ def _fused_harvest_embed(dissector, probe, layers, pool_mode: str, batch_size: i
             np.concatenate(emb_acc, axis=0), n_images)
 
 
+class _ChunkSpiller:
+    """Background writer: fetches completed resident chunks to host and saves them to
+    the activation cache, off the harvest loop's critical path. Restores the
+    reference's skip-if-exists restartability (`utils.py:648-657`) for the resident
+    path: an interrupted run resumes from the last fully-harvested chunk."""
+
+    def __init__(self, cache_dir: str, key: str):
+        import queue
+        import threading
+
+        os.makedirs(cache_dir, exist_ok=True)
+        self.cache_dir, self.key = cache_dir, key
+        self._q: "queue.Queue" = queue.Queue()
+        self._err = None
+        self._t = threading.Thread(target=self._run, daemon=True)
+        self._t.start()
+
+    def paths(self, i: int):
+        stem = os.path.join(self.cache_dir, f"{self.key}_chunk{i:04d}")
+        return stem + "_act.npy", stem + "_emb.npy"
+
+    @property
+    def partial_path(self):
+        return os.path.join(self.cache_dir, f"{self.key}_partial.npz")
+
+    def load_existing(self, cap: int, u_total: int, emb_dim: int):
+        """Consecutive complete spilled chunks with the expected geometry."""
+        chunks = []
+        i = 0
+        while True:
+            pa, pe = self.paths(i)
+            if not (os.path.exists(pa) and os.path.exists(pe)):
+                break
+            try:
+                a, e = np.load(pa), np.load(pe)
+            except Exception:
+                break  # torn write from a killed run: re-harvest from here
+            if a.shape != (cap, u_total) or e.shape != (cap, emb_dim):
+                break
+            chunks.append((a, e))
+            i += 1
+        return chunks
+
+    def load_partial(self, chunk_index: int, cap: int, u_total: int, emb_dim: int,
+                     batch_size: int):
+        """The in-progress chunk a previous run spilled at interruption/completion:
+        (act [cap,U], emb [cap,D], offset, n_images) or None. Validated against the
+        current geometry AND the expected chunk index (a stale partial from before
+        that chunk completed is ignored)."""
+        p = self.partial_path
+        if not os.path.exists(p):
+            return None
+        try:
+            z = np.load(p)
+            a, e = z["act"], z["emb"]
+            idx, offset, n_img = int(z["chunk_index"]), int(z["offset"]), int(z["n_images"])
+        except Exception:
+            return None
+        if (idx != chunk_index or a.shape != (cap, u_total)
+                or e.shape != (cap, emb_dim) or not 0 < offset <= cap
+                or offset % batch_size != 0):
+            return None
+        return a, e, offset, n_img
+
+    def submit(self, i: int, acc_a, acc_e):
+        self._q.put(("chunk", i, acc_a, acc_e))
+
+    def submit_partial(self, chunk_index: int, acc_a, acc_e, offset: int, n_images: int):
+        self._q.put(("partial", chunk_index, acc_a, acc_e, offset, n_images))
+
+    def _save_atomic(self, path: str, writer):
+        tmp = path + ".tmp"
+        with open(tmp, "wb") as f:  # file handle: np.save must not append .npy
+            writer(f)
+        os.replace(tmp, path)  # atomic: no torn chunks on kill
+
+    def _run(self):
+        while True:
+            item = self._q.get()
+            if item is None:
+                return
+            try:
+                if item[0] == "chunk":
+                    _, i, acc_a, acc_e = item
+                    pa, pe = self.paths(i)
+                    for path, dev in ((pa, acc_a), (pe, acc_e)):
+                        host = np.asarray(dev)  # device fetch happens here
+                        self._save_atomic(path, lambda f, h=host: np.save(f, h))
+                else:
+                    _, idx, acc_a, acc_e, offset, n_img = item
+                    a, e = np.asarray(acc_a), np.asarray(acc_e)
+                    self._save_atomic(
+                        self.partial_path,
+                        lambda f: np.savez(f, act=a, emb=e, chunk_index=idx,
+                                           offset=offset, n_images=n_img),
+                    )
+            except Exception as e:
+                self._err = e
+
+    def close(self):
+        self._q.put(None)
+        self._t.join()
+        if self._err is not None:
+            raise self._err
+
+
 def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
                                  batch_size: int, sync_every: int = 16,
-                                 chunk_batches: int = 16, log=None):
+                                 chunk_batches: int = 16, log=None,
+                                 cache_dir: Optional[str] = None, cache_key: str = "",
+                                 deadline: Optional[float] = None,
+                                 timing: Optional[list] = None):
     """Device-resident fused M-dissect harvest (see BreastClip.fused_resident_step).
 
     Per batch the only relay traffic is the uint8 upload; activations+embeddings
@@ -427,6 +537,22 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
     probe size (one compile serves any D_probe; a fresh chunk is just new zeros).
     A 1-element fetch every `sync_every` batches provides backpressure
     (block_until_ready is a no-op on this runtime).
+
+    With a mesh attached to the dissector, the step runs SPMD over Mesh('data'):
+    uint8 batch + accumulators row-sharded, params replicated; row order and chunk
+    files are identical to the single-device layout.
+
+    cache_dir/cache_key enable chunk-level spill+resume: every completed chunk is
+    written to the activation cache by a background thread, and a rerun with the same
+    key resumes after the last complete chunk (skip-if-exists, `utils.py:648-657`).
+
+    deadline (a time.monotonic() value) stops the harvest at the next batch boundary
+    once reached — partial results are valid (rows are sequential) and the caller
+    scores whatever was harvested.
+
+    timing, if a list, collects per-batch dicts {"assemble_s","put_s","step_s",
+    "sync_s"} for transport diagnostics.
+
     Returns (act_chunks, emb_chunks, names, widths, n_images) where the chunk lists
     concatenate (on device, in `score_resident`) to [>=n, U_total]/[>=n, D] f32."""
     import jax
@@ -440,33 +566,139 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
     cap = chunk_batches * batch_size
     emb_dim = int(dissector.module.proj_dim)
 
+    rows_sharding = u8_sharding = None
+    if hasattr(dissector, "resident_accumulator_shardings"):
+        rows_sharding, u8_sharding = dissector.resident_accumulator_shardings()
+
+    def _zeros(n_cols):
+        if rows_sharding is None:
+            return jnp.zeros((cap, n_cols), jnp.float32)
+        # jitted creation with out_shardings: the zeros materialize sharded on
+        # device, never crossing the host wire
+        return jax.jit(lambda: jnp.zeros((cap, n_cols), jnp.float32),
+                       out_shardings=rows_sharding)()
+
+    def _put(flat):
+        return jax.device_put(flat, u8_sharding) if u8_sharding is not None \
+            else jax.device_put(flat)
+
+    def _put_rows(arr):
+        return jax.device_put(arr, rows_sharding) if rows_sharding is not None \
+            else jax.device_put(arr)
+
+    spiller = _ChunkSpiller(cache_dir, cache_key) if cache_dir else None
     act_chunks, emb_chunks = [], []
     acc_a = acc_e = None
-    n_images, offset, i_batch = 0, 0, 0
-    for u8, n_valid in _prefetch_u8_batches(probe, batch_size):
-        if acc_a is None:
-            acc_a = jnp.zeros((cap, u_total), jnp.float32)
-            acc_e = jnp.zeros((cap, emb_dim), jnp.float32)
-        flat = np.ascontiguousarray(u8).reshape(-1)
-        acc_a, acc_e = step(dissector.variables, acc_a, acc_e,
-                            jax.device_put(flat), jnp.int32(offset))
-        n_images += n_valid
-        offset += batch_size
-        i_batch += 1
-        if offset == cap:
+    offset = 0
+    consumed = 0  # probe images dispatched (batch_size granularity)
+    n_images = 0  # valid images harvested (< consumed only past the probe tail)
+    if spiller is not None:
+        for a, e in spiller.load_existing(cap, u_total, emb_dim):
+            act_chunks.append(a)
+            emb_chunks.append(e)
+        consumed = n_images = len(act_chunks) * cap
+        part = spiller.load_partial(len(act_chunks), cap, u_total, emb_dim, batch_size)
+        if part is not None:
+            pa, pe, offset, n_images = part
+            acc_a, acc_e = _put_rows(pa), _put_rows(pe)
+            consumed = len(act_chunks) * cap + offset
+        if consumed and log is not None:
+            log(f"[resident] resumed {len(act_chunks)} cached chunks"
+                + (f" + a partial chunk at row {offset}" if part else "")
+                + f" ({n_images} images) from {cache_dir}")
+
+    i_batch = 0
+    try:
+        for u8, n_valid in _prefetch_u8_batches(probe, batch_size, start=consumed):
+            t0 = time.perf_counter()
+            if acc_a is None:
+                acc_a = _zeros(u_total)
+                acc_e = _zeros(emb_dim)
+            flat = np.ascontiguousarray(u8).reshape(-1)
+            t1 = time.perf_counter()
+            u8_dev = _put(flat)
+            t2 = time.perf_counter()
+            acc_a, acc_e = step(dissector.variables, acc_a, acc_e,
+                                u8_dev, jnp.int32(offset))
+            t3 = time.perf_counter()
+            n_images += n_valid
+            consumed += batch_size
+            offset += batch_size
+            i_batch += 1
+            if offset == cap:
+                act_chunks.append(acc_a)
+                emb_chunks.append(acc_e)
+                if spiller is not None:
+                    spiller.submit(len(act_chunks) - 1, acc_a, acc_e)
+                acc_a = acc_e = None
+                offset = 0
+            t4 = t3
+            if i_batch % sync_every == 0:
+                probe_chunk = acc_e if acc_e is not None else emb_chunks[-1]
+                _ = np.asarray(probe_chunk[0, :1])  # backpressure: bound the queue
+                t4 = time.perf_counter()
+                if log is not None:
+                    log(f"[resident] {n_images}/{len(probe)} images")
+            if timing is not None:
+                timing.append({"assemble_s": t1 - t0, "put_s": t2 - t1,
+                               "step_s": t3 - t2, "sync_s": t4 - t3})
+            if deadline is not None and time.monotonic() >= deadline:
+                if log is not None:
+                    log(f"[resident] deadline reached at {n_images}/{len(probe)} "
+                        f"images; finalizing with the partial harvest")
+                break
+        if acc_a is not None:
             act_chunks.append(acc_a)
             emb_chunks.append(acc_e)
-            acc_a = acc_e = None
-            offset = 0
-        if i_batch % sync_every == 0:
-            probe_chunk = acc_e if acc_e is not None else emb_chunks[-1]
-            _ = np.asarray(probe_chunk[0, :1])  # backpressure: bound the queue
-            if log is not None:
-                log(f"[resident] {n_images}/{len(probe)} images")
-    if acc_a is not None:
-        act_chunks.append(acc_a)
-        emb_chunks.append(acc_e)
+            if spiller is not None:
+                # spill the in-progress chunk too: interruption resumes at batch
+                # granularity and a completed harvest resumes straight to scoring
+                spiller.submit_partial(len(act_chunks) - 1, acc_a, acc_e,
+                                       offset, n_images)
+    finally:
+        if spiller is not None:
+            spiller.close()
     return act_chunks, emb_chunks, names, widths, n_images
+
+
+def _score_resident_jit():
+    """Module-level jitted scorer (lazy: jax imported on first use). Hoisted so
+    repeated `score_resident` calls hit the SAME jit cache — a per-call closure would
+    retrace every time (jit caches key on function identity), silently adding a full
+    retrace+compile to every measured scoring pass."""
+    global _SCORE_RESIDENT_FN
+    if _SCORE_RESIDENT_FN is None:
+        import jax
+        import jax.numpy as jnp
+        from jax import lax
+
+        from mammodissect.ops.similarity import SEGMENTED_FNS, get_similarity_fn
+
+        @partial(jax.jit, static_argnames=(
+            "n_images", "n_segments", "sim_name", "k_c", "k_i", "kk"))
+        def _score(act_chunks, emb_chunks, text_f, seg_ids, n_images, n_segments,
+                   sim_name, k_c, k_i, kk):
+            acts = jnp.concatenate(act_chunks, axis=0)[:n_images]
+            emb = jnp.concatenate(emb_chunks, axis=0)[:n_images]
+            emb = emb / jnp.clip(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
+            txt = text_f / jnp.clip(jnp.linalg.norm(text_f, axis=1, keepdims=True), 1e-12)
+            clip_feats = jnp.dot(emb, txt.T, preferred_element_type=jnp.float32,
+                                 precision=lax.Precision.HIGHEST)
+            if sim_name in SEGMENTED_FNS:
+                kwargs = {"top_k": kk} if sim_name == "soft_wpmi" else {}
+                sim = SEGMENTED_FNS[sim_name](clip_feats, acts, seg_ids, n_segments,
+                                              **kwargs)
+            else:
+                sim = get_similarity_fn(sim_name)(clip_feats, acts)
+            top_vals, top_idx = lax.top_k(sim, k_c)
+            _, img_idx = lax.top_k(acts.T, k_i)
+            return top_vals, top_idx, img_idx
+
+        _SCORE_RESIDENT_FN = _score
+    return _SCORE_RESIDENT_FN
+
+
+_SCORE_RESIDENT_FN = None
 
 
 def score_resident(act_chunks, emb_chunks, n_images: int, text_features: np.ndarray,
@@ -476,41 +708,22 @@ def score_resident(act_chunks, emb_chunks, n_images: int, text_features: np.ndar
     segmented scoring across all layers in one program, per-unit top-concepts and
     top-activating-image indices via lax.top_k — the host receives only CSV-sized
     arrays (the device->host relay runs ~6 MB/s, so fetching the raw [N, U_total]
-    matrix would cost more than the whole harvest).
+    matrix would cost more than the whole harvest). With mesh-sharded chunks the
+    program runs SPMD over the same Mesh('data').
 
     Returns (top_vals [U, k_c], top_concept_idx [U, k_c], top_image_idx [U, k_i])."""
-    import jax
     import jax.numpy as jnp
-    from jax import lax
-
-    from mammodissect.ops.similarity import SEGMENTED_FNS, get_similarity_fn
 
     widths = [int(w) for w in widths]
     segment_ids = np.repeat(np.arange(len(widths), dtype=np.int32), widths)
 
-    @partial(jax.jit, static_argnames=("sim_name", "k_c", "k_i", "kk"))
-    def _score(act_chunks, emb_chunks, text_f, seg_ids, sim_name, k_c, k_i, kk):
-        acts = jnp.concatenate(act_chunks, axis=0)[:n_images]
-        emb = jnp.concatenate(emb_chunks, axis=0)[:n_images]
-        emb = emb / jnp.clip(jnp.linalg.norm(emb, axis=1, keepdims=True), 1e-12)
-        txt = text_f / jnp.clip(jnp.linalg.norm(text_f, axis=1, keepdims=True), 1e-12)
-        clip_feats = jnp.dot(emb, txt.T, preferred_element_type=jnp.float32,
-                             precision=lax.Precision.HIGHEST)
-        if sim_name in SEGMENTED_FNS:
-            kwargs = {"top_k": kk} if sim_name == "soft_wpmi" else {}
-            sim = SEGMENTED_FNS[sim_name](clip_feats, acts, seg_ids, len(widths), **kwargs)
-        else:
-            sim = get_similarity_fn(sim_name)(clip_feats, acts)
-        top_vals, top_idx = lax.top_k(sim, k_c)
-        _, img_idx = lax.top_k(acts.T, k_i)
-        return top_vals, top_idx, img_idx
-
     k_c = min(num_top_concepts, int(text_features.shape[0]))
     k_i = min(num_top_images, n_images)
     kk = min(top_k, n_images)
-    top_vals, top_idx, img_idx = _score(
+    top_vals, top_idx, img_idx = _score_resident_jit()(
         list(act_chunks), list(emb_chunks), jnp.asarray(text_features, jnp.float32),
-        jnp.asarray(segment_ids), similarity_name, k_c, k_i, kk,
+        jnp.asarray(segment_ids), int(n_images), len(widths),
+        similarity_name, k_c, k_i, kk,
     )
     return np.asarray(top_vals), np.asarray(top_idx), np.asarray(img_idx)
 
@@ -634,22 +847,28 @@ def _run_dissection_resident(cfg: DissectConfig, probe=None, target=None,
             and not cfg.finetuned_ckpt and target is None):
         return None
     mesh = auto_data_mesh()
-    if mesh is not None and data_parallel_size(mesh) > 1:
-        return None
     probe = probe or get_probe(cfg.d_probe, **cfg.probe_kwargs)
     if not (hasattr(probe, "image_u8") and hasattr(probe, "mean")):
         return None
     dk = dict(cfg.dissector_kwargs)
     dk.setdefault("ckpt_path", cfg.breast_clip_ckpt)
-    dissector = dissector or get_dissector(cfg.clip_model, **dk)
+    dissector = _attach_mesh(dissector or get_dissector(cfg.clip_model, **dk), mesh)
     if not hasattr(dissector, "fused_resident_step"):
         return None
+    bs = _round_batch(cfg.batch_size, getattr(dissector, "mesh", None))
 
     words = read_concepts(cfg.concept_set)
     layers = [canonical_layer_name(l) for l in cfg.target_layers]
+    # chunk-spill resume: completed chunks land in the activation cache keyed by the
+    # run's probe/geometry so an interrupted resident dissection restarts where it
+    # stopped (the staged path's skip-if-exists semantics, `utils.py:648-657`)
+    os.makedirs(cfg.activation_dir, exist_ok=True)
+    d_probe_key = cfg.d_probe.replace("/", "_").replace(":", "_")
+    cache_key = f"{cfg.save_prefix}{d_probe_key}_{cfg.clip_model}_resident_b{bs}"
     t0 = time.time()
     act_chunks, emb_chunks, names, widths, n_images = fused_harvest_embed_resident(
-        dissector, probe, layers, cfg.pool_mode, cfg.batch_size)
+        dissector, probe, layers, cfg.pool_mode, bs,
+        cache_dir=cfg.activation_dir, cache_key=cache_key, log=log)
     text_feats = dissector.embed_texts(words)
     top_vals, top_idx, img_idx = score_resident(
         act_chunks, emb_chunks, n_images, text_feats, widths, cfg.similarity_fn,
@@ -684,8 +903,7 @@ def run_dissection(cfg: DissectConfig, probe=None, target=None, dissector=None, 
                                        dissector=dissector, log=log)
         if out is not None:
             return out
-        log("[resident] not applicable (non-fused target or multi-device mesh); "
-            "using the staged path")
+        log("[resident] not applicable (non-fused target/probe); using the staged path")
 
     paths = save_activations(cfg, probe=probe, target=target, dissector=dissector, log=log)
     words = read_concepts(cfg.concept_set)

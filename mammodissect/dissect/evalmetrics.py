@@ -44,8 +44,22 @@ def default_text_embedder(kind: str = "clip", ckpt_path: Optional[str] = None, *
     kind="clip": the vendored OpenAI-CLIP text transformer (`clip_model.encode_text`
     role, `utils.py:622-638`); kind="bert": the BreastClip Bio_ClinicalBERT tower in
     the mpnet sentence-encoder role (`utils.py:641-644`). Pass `ckpt_path` to embed
-    with converted real weights; otherwise deterministic random-init towers (still a
-    meaningful relative score: identical texts embed identically)."""
+    with converted real weights.
+
+    Without a checkpoint the tower is DETERMINISTIC RANDOM-INIT: identical texts
+    still embed identically (so exact-match scoring works), but cosine scores between
+    different texts are NOT semantically meaningful — untrained-transformer embeddings
+    are anisotropic and near-text-length-driven. Fine as a smoke default; a runtime
+    warning fires so real evaluations can't use it unnoticed."""
+    if ckpt_path is None:
+        import warnings
+
+        warnings.warn(
+            f"default_text_embedder({kind!r}) without ckpt_path: embeddings come "
+            "from a RANDOM-INIT tower — only exact-match description scores are "
+            "meaningful. Pass ckpt_path=<converted weights> for semantic scores.",
+            stacklevel=2,
+        )
     if kind == "clip":
         from mammodissect.models.clip_vit import OpenAIClip
 

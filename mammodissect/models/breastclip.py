@@ -347,7 +347,7 @@ class BreastClip:
 
     def fused_resident_step(self, sample_shape, layers, pool_mode: str,
                             mean: float, std: float):
-        """Device-RESIDENT fused M-dissect step (single-device).
+        """Device-RESIDENT fused M-dissect step.
 
         Returns (step, names, widths) where
           step(variables, acc_acts, acc_emb, u8_flat, offset) -> (acc_acts, acc_emb)
@@ -357,7 +357,17 @@ class BreastClip:
         device->host fetch path is ~8x slower than upload, so the round-1 per-batch
         activation fetches dominated harvest wall-clock; resident mode keeps the
         [N, U_total] matrix on device end-to-end and scoring (`engine.score_resident`)
-        fetches only CSV-sized results."""
+        fetches only CSV-sized results.
+
+        With a mesh attached (`set_mesh`), the step is one SPMD program over
+        Mesh('data'): the uint8 batch and both accumulators are row-sharded
+        P('data'[, None]) and params are replicated, so the resident path composes
+        with multi-chip DP (the reference's DistributedSampler shape,
+        `Classifiers/experiments.py:554-564`, applied to resident dissection). Row
+        order stays sequential, so scoring and resume are layout-identical to the
+        single-device path. The per-batch dynamic_update_slice into the row-sharded
+        accumulator costs one small all-gather of the [B, U_total] update (~2 MB at
+        the canonical geometry) — negligible next to the B5 forward."""
         from mammodissect.dissect.capture import canonical_layer_name, layer_index
 
         canon = [canonical_layer_name(l) for l in layers]
@@ -396,8 +406,35 @@ class BreastClip:
                 )
                 return acc_acts, acc_emb
 
-            self._jit_cache[key] = (jax.jit(step, donate_argnums=(1, 2)), names, widths)
+            rep, dat = self._batch_shardings()
+            if rep is None:
+                jstep = jax.jit(step, donate_argnums=(1, 2))
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from mammodissect.parallel.mesh import DATA_AXIS
+
+                rows = NamedSharding(self.mesh, P(DATA_AXIS, None))
+                jstep = jax.jit(
+                    step,
+                    in_shardings=(rep, rows, rows, dat, rep),
+                    out_shardings=(rows, rows),
+                    donate_argnums=(1, 2),
+                )
+            self._jit_cache[key] = (jstep, names, widths)
         return self._jit_cache[key]
+
+    def resident_accumulator_shardings(self):
+        """(row_sharding, u8_sharding) for resident accumulators under this model's
+        mesh, or (None, None) single-device."""
+        rep, dat = self._batch_shardings()
+        if rep is None:
+            return None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mammodissect.parallel.mesh import DATA_AXIS
+
+        return NamedSharding(self.mesh, P(DATA_AXIS, None)), dat
 
     def embed_tokens(self, input_ids, attention_mask) -> np.ndarray:
         """Projected + L2-normalized text embeddings from pre-tokenized ids

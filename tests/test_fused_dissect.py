@@ -124,16 +124,15 @@ def test_resident_matches_staged(setup):
     np.testing.assert_array_equal(img_idx, want_img)
 
 
-def test_run_dissection_resident_csv_matches_staged(setup, tmp_path, monkeypatch):
-    """--resident end-to-end: the CSV must match the staged pipeline's CSV."""
+def test_run_dissection_resident_csv_matches_staged(setup, tmp_path):
+    """--resident end-to-end: the CSV must match the staged pipeline's CSV. Runs on
+    the 8-device CPU mesh — resident mode now composes with the data mesh (sharded
+    accumulators) instead of bailing to the staged path — and spills completed chunks
+    to the activation cache for resume."""
     import pandas as pd
 
-    import mammodissect.dissect.engine as engine
     from mammodissect.dissect.engine import DissectConfig, run_dissection
 
-    # resident mode is single-device; the test env's 8-CPU virtual mesh would make it
-    # fall back to the (sharded) staged path
-    monkeypatch.setattr(engine, "auto_data_mesh", lambda: None)
     probe, small = setup
     base = dict(target_model="breastclip", clip_model="breastclip",
                 target_layers=["blocks.0", "blocks.3"], d_probe="synthetic_u8",
@@ -145,7 +144,9 @@ def test_run_dissection_resident_csv_matches_staged(setup, tmp_path, monkeypatch
                           result_dir=str(tmp_path / "rr"), resident=True, **base)
     df_r, _ = run_dissection(cfg_r, probe=probe, log=logs.append)
     assert any("[resident] dissected" in str(l) for l in logs), logs
-    assert not (tmp_path / "ra").exists() or not list((tmp_path / "ra").glob("*.npy"))
+    # chunk spill: the harvest landed in the activation cache (12 images fit in the
+    # in-progress chunk -> the partial-chunk npz)
+    assert list((tmp_path / "ra").glob("*_resident_*")), list((tmp_path / "ra").iterdir())
 
     cfg_s = DissectConfig(activation_dir=str(tmp_path / "sa"),
                           result_dir=str(tmp_path / "sr"), **base)
@@ -155,3 +156,107 @@ def test_run_dissection_resident_csv_matches_staged(setup, tmp_path, monkeypatch
         df_r.drop(columns=["similarity"]), df_s.drop(columns=["similarity"]))
     for a, b in zip(df_r["similarity"], df_s["similarity"]):
         np.testing.assert_allclose(a, b, rtol=1e-4, atol=1e-4)
+
+    # rerun: everything resumes from the spilled chunks (no recompute needed) and the
+    # CSV is identical — the reference's skip-if-exists restartability
+    # (`utils.py:648-657`) extended to the resident path
+    logs3 = []
+    df_r2, _ = run_dissection(cfg_r, probe=probe, log=logs3.append)
+    assert any("resumed" in str(l) for l in logs3), logs3
+    pd.testing.assert_frame_equal(
+        df_r2.drop(columns=["similarity"]), df_r.drop(columns=["similarity"]))
+
+
+def test_resident_sharded_matches_single_device(setup):
+    """Mesh-sharded resident harvest == single-device resident harvest, row for row
+    (accumulators row-sharded over Mesh('data'), params replicated)."""
+    import jax
+
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import fused_harvest_embed_resident
+    from mammodissect.parallel.mesh import auto_data_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    probe, small = setup
+    layers = ["blocks.0", "blocks.2", "blocks.5"]
+
+    d_single = get_dissector("breastclip", **small)
+    a1, e1, names1, widths1, n1 = fused_harvest_embed_resident(
+        d_single, probe, layers, "avg", batch_size=8, chunk_batches=1)
+
+    d_mesh = get_dissector("breastclip", **small)
+    d_mesh.set_mesh(auto_data_mesh())
+    assert d_mesh.mesh is not None
+    a2, e2, names2, widths2, n2 = fused_harvest_embed_resident(
+        d_mesh, probe, layers, "avg", batch_size=8, chunk_batches=1)
+
+    assert n1 == n2 and names1 == names2 and widths1 == widths2
+    # sharded accumulators must hold a valid row-sharded layout
+    assert any(len(c.sharding.device_set) > 1 for c in a2)
+    cat = lambda cs: np.concatenate([np.asarray(c) for c in cs], axis=0)[:n1]
+    np.testing.assert_allclose(cat(a2), cat(a1), rtol=1e-4, atol=1e-4)
+    np.testing.assert_allclose(cat(e2), cat(e1), rtol=1e-4, atol=1e-4)
+
+
+def test_resident_deadline_then_resume_completes(setup, tmp_path):
+    """An interrupted resident harvest (deadline hit mid-run) leaves complete chunks
+    on disk; the rerun resumes from them and the final result equals a clean run."""
+    import time as _time
+
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import fused_harvest_embed_resident
+
+    probe, small = setup  # 12 images
+    layers = ["blocks.0", "blocks.1"]
+    d = get_dissector("breastclip", **small)
+
+    # clean run for reference
+    a0, e0, *_, n0 = fused_harvest_embed_resident(
+        d, probe, layers, "avg", batch_size=4, chunk_batches=1)
+    cat = lambda cs, n: np.concatenate([np.asarray(c) for c in cs], axis=0)[:n]
+    want_a, want_e = cat(a0, n0), cat(e0, n0)
+
+    # interrupted run: deadline already passed -> stops after the first batch
+    cache = str(tmp_path / "cache")
+    a1, e1, *_, n1 = fused_harvest_embed_resident(
+        d, probe, layers, "avg", batch_size=4, chunk_batches=1,
+        cache_dir=cache, cache_key="k", deadline=_time.monotonic())
+    assert n1 == 4 < len(probe)  # partial
+    assert os.path.exists(os.path.join(cache, "k_chunk0000_act.npy"))
+
+    # resume: picks up chunk 0 from disk, harvests only the remaining 8 images
+    logs = []
+    a2, e2, *_, n2 = fused_harvest_embed_resident(
+        d, probe, layers, "avg", batch_size=4, chunk_batches=1,
+        cache_dir=cache, cache_key="k", log=logs.append)
+    assert n2 == len(probe)
+    assert any("resumed 1 cached chunks" in str(l) for l in logs), logs
+    np.testing.assert_allclose(cat(a2, n2), want_a, rtol=1e-5, atol=1e-5)
+    np.testing.assert_allclose(cat(e2, n2), want_e, rtol=1e-5, atol=1e-5)
+
+
+def test_score_resident_does_not_retrace(setup):
+    """Repeated scoring calls hit one jit cache entry (the round-2 scorer was a fresh
+    closure per call, silently retracing every 'measured' scoring pass)."""
+    import mammodissect.dissect.engine as engine
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import (
+        fused_harvest_embed_resident,
+        score_resident,
+    )
+
+    probe, small = setup
+    layers = ["blocks.0"]
+    d = get_dissector("breastclip", **small)
+    chunks = fused_harvest_embed_resident(d, probe, layers, "avg", batch_size=8,
+                                          chunk_batches=2)
+    act_chunks, emb_chunks, _names, widths, n = chunks
+    text = np.random.default_rng(0).normal(size=(5, 32)).astype(np.float32)
+
+    r1 = score_resident(act_chunks, emb_chunks, n, text, widths, "soft_wpmi", top_k=6)
+    size_after_first = engine._score_resident_jit()._cache_size()
+    r2 = score_resident(act_chunks, emb_chunks, n, text, widths, "soft_wpmi", top_k=6)
+    assert engine._score_resident_jit()._cache_size() == size_after_first
+    np.testing.assert_allclose(r1[0], r2[0])
+    np.testing.assert_array_equal(r1[1], r2[1])

@@ -110,3 +110,14 @@ def test_default_embedders_out_of_the_box():
     both = get_cos_similarity(preds, list(preds), clip_embedder=clip_emb,
                               sentence_embedder=Enc())
     assert both[1] == pytest.approx(1.0, abs=1e-5)
+
+
+def test_default_embedder_warns_without_checkpoint(recwarn):
+    """Random-init default embedders must announce themselves (scores from untrained
+    towers are only exact-match-meaningful)."""
+    import pytest as _pytest
+
+    from mammodissect.dissect.evalmetrics import default_text_embedder
+
+    with _pytest.warns(UserWarning, match="RANDOM-INIT"):
+        default_text_embedder("bert", bert_layers=1)

@@ -49,3 +49,128 @@ def test_host_sharded_probe_contract():
         np.testing.assert_array_equal(seen[i], base.image(i))
     for pad in seen[10:]:
         np.testing.assert_array_equal(pad, base.image(9))
+
+
+class _SimulatedMultihostTarget:
+    """Simulates the real n_procs>1 u8 harvest in ONE process: receives rank r's
+    local slice of each global batch (what `make_array_from_process_local_data`
+    would contribute), reassembles the GLOBAL batch from the base probe (what the
+    host-spanning mesh materializes), and runs the same on-device u8 program a real
+    SPMD harvest would run. Lets the engine's interleave-untangling reassembly
+    (`harvest_probe`'s n_procs>1 branch) be asserted without a cluster."""
+
+    def __init__(self, inner, base_probe, rank, nprocs):
+        self.inner, self.base = inner, base_probe
+        self.rank, self.nprocs = rank, nprocs
+        self.calls = 0
+        self.variables = inner.variables
+
+    def harvest_u8_dispatch(self, images_u8, layers, pool_mode, mean, std):
+        from mammodissect.data.probes import HostShardedProbe
+        from mammodissect.dissect.capture import canonical_layer_name, layer_index
+
+        local_bs = images_u8.shape[0]
+        b = self.calls
+        self.calls += 1
+        # global batch b = concat over processes of their local slices
+        shards = [HostShardedProbe(self.base, index=p, count=self.nprocs)
+                  for p in range(self.nprocs)]
+        g = np.zeros((self.nprocs * local_bs,) + tuple(images_u8.shape[1:]), np.uint8)
+        for p, s in enumerate(shards):
+            for j in range(local_bs):
+                i = b * local_bs + j
+                if i < len(s):
+                    g[p * local_bs + j] = s.image_u8(i)
+        # sanity: rank r's slice is exactly what the engine handed us
+        np.testing.assert_array_equal(
+            g[self.rank * local_bs : (self.rank + 1) * local_bs], images_u8)
+        canon = [canonical_layer_name(l) for l in layers]
+        capture = tuple(sorted({layer_index(c) for c in canon}))
+        fn, names, widths = self.inner._fn_u8(
+            capture, pool_mode, tuple(g.shape), float(mean), float(std))
+        import jax
+
+        flat = np.ascontiguousarray(g).reshape(-1)
+        return fn(self.inner.variables, jax.device_put(flat)), names, widths
+
+
+def _simulate_multihost_harvest(nprocs, n_images, batch_size, monkeypatch):
+    import jax
+    from jax.experimental import multihost_utils
+
+    from mammodissect.data.probes import ArrayProbe
+    from mammodissect.dissect.engine import harvest_probe
+    from mammodissect.dissect.targets import get_target_model
+
+    rng = np.random.default_rng(3)
+    base = ArrayProbe(rng.integers(0, 256, size=(n_images, 32, 32, 1), dtype=np.uint8),
+                      mean=0.3, std=0.25)
+    layers = ["blocks.0", "blocks.2"]
+
+    want, n_want = harvest_probe(get_target_model("tiny_cnn"), base, layers, "avg",
+                                 batch_size)
+    assert n_want == n_images
+
+    # fresh instance (same seed -> same weights), kept mesh-free: the simulated
+    # global batch size need not divide the test env's 8-device mesh
+    inner = get_target_model("tiny_cnn")
+
+    results = []
+    for rank in range(nprocs):
+        monkeypatch.setattr(jax, "process_count", lambda: nprocs)
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        # fake allgather: the simulated target already returns the global batch
+        monkeypatch.setattr(multihost_utils, "process_allgather",
+                            lambda x, tiled=True: np.asarray(x))
+        target = _SimulatedMultihostTarget(inner, base, rank, nprocs)
+        acc, n = harvest_probe(target, base, layers, "avg", batch_size)
+        monkeypatch.undo()
+        assert n == n_images
+        results.append(acc)
+
+    for rank, acc in enumerate(results):
+        for l in layers:
+            assert acc[l].shape == want[l].shape, (rank, l)
+            np.testing.assert_allclose(acc[l], want[l], rtol=0, atol=1e-6,
+                                       err_msg=f"rank {rank} layer {l}")
+
+
+def test_simulated_2proc_harvest_matches_unsharded(monkeypatch):
+    """2-process u8 harvest: per-batch allgather + interleave untangle + trim
+    reassembles exactly the unsharded activations (even division)."""
+    _simulate_multihost_harvest(2, 16, 8, monkeypatch)
+
+
+def test_simulated_4proc_harvest_uneven_tail(monkeypatch):
+    """4 processes, probe length not divisible by (procs x local batch): wrap-padded
+    shard tails must be trimmed, not leak into the reassembled result."""
+    _simulate_multihost_harvest(4, 21, 8, monkeypatch)
+
+
+def test_simulated_3proc_prewrapped_probe_keeps_total(monkeypatch):
+    """A caller-wrapped HostShardedProbe must not truncate the result to one shard
+    (regression: n_total was computed from the wrapped probe's per-host length)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from mammodissect.data.probes import ArrayProbe, HostShardedProbe
+    from mammodissect.dissect.engine import harvest_probe
+    from mammodissect.dissect.targets import get_target_model
+
+    nprocs, n_images = 3, 14
+    rng = np.random.default_rng(5)
+    base = ArrayProbe(rng.integers(0, 256, size=(n_images, 32, 32, 1), dtype=np.uint8),
+                      mean=0.3, std=0.25)
+    layers = ["blocks.0"]
+    want, _ = harvest_probe(get_target_model("tiny_cnn"), base, layers, "avg", 6)
+    inner = get_target_model("tiny_cnn")  # mesh-free instance for the simulation
+
+    monkeypatch.setattr(jax, "process_count", lambda: nprocs)
+    monkeypatch.setattr(jax, "process_index", lambda: 1)
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda x, tiled=True: np.asarray(x))
+    target = _SimulatedMultihostTarget(inner, base, 1, nprocs)
+    pre = HostShardedProbe(base, index=1, count=nprocs)
+    acc, n = harvest_probe(target, pre, layers, "avg", 6)
+    assert n == n_images  # NOT the per-host shard length (5)
+    np.testing.assert_allclose(acc["blocks.0"], want["blocks.0"], rtol=0, atol=1e-6)
