@@ -11,7 +11,7 @@ receives only CSV-sized results. (This runtime's device->host relay is ~6 MB/s â
 slower than upload â€” so per-batch activation fetches would be the hidden cost.)
 
 Deadline discipline (the round-2 run was killed by the driver before printing):
-  * BENCH_DEADLINE_S (default 1020 s) is a wall-clock budget from process start; the
+  * BENCH_DEADLINE_S (default 1440 s) is a wall-clock budget from process start; the
     harvest loop stops at the next batch boundary once ~90 s of scoring reserve
     remains, and the run scores the N images it actually harvested.
   * every completed chunk spills to BENCH_CACHE_DIR (background thread), so even a
@@ -64,6 +64,55 @@ def note(msg):
     print(f"[bench {time.strftime('%T')}] {msg}", file=sys.stderr, flush=True)
 
 
+# Stage progress shared with the watchdog (the runtime's remote compile can wedge
+# indefinitely after an earlier killed process; a blocked C call can't observe the
+# deadline, so a daemon thread guarantees the final JSON line no matter what).
+PROGRESS: dict = {"stage": "boot", "printed": False}
+
+
+def _emit_final(result):
+    if not PROGRESS["printed"]:
+        PROGRESS["printed"] = True
+        print(json.dumps(result), flush=True)
+
+
+def _start_watchdog(deadline_s: float):
+    import threading
+
+    def run():
+        while True:
+            remain = T_PROC + deadline_s - time.monotonic()
+            if PROGRESS["printed"]:
+                return
+            if remain <= 5:
+                break
+            time.sleep(min(remain - 5, 10))
+        if PROGRESS["printed"]:
+            return
+        rate = PROGRESS.get("last_rate_img_per_s", 0.0)
+        _emit_final({
+            "metric": "dissect_images_per_sec_per_chip",
+            "value": round(float(rate), 2),
+            "unit": "img/s/chip",
+            "vs_baseline": round(float(rate) / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+            "detail": {
+                "watchdog_timeout": True,
+                "stage": PROGRESS.get("stage"),
+                "n_images_measured": PROGRESS.get("n_images", 0),
+                "elapsed_s": round(time.monotonic() - T_PROC, 1),
+                "note": "runtime stalled (remote compile/transfer wedge); value is "
+                        "the last observed harvest rate, 0.0 if none was measured",
+            },
+        })
+        sys.stderr.flush()
+        sys.stdout.flush()
+        os._exit(3)  # the runtime is wedged; a normal exit may never happen
+
+    t = threading.Thread(target=run, daemon=True)
+    t.start()
+    return t
+
+
 def partial_record(**kw):
     """Parseable progress record in the stderr tail: even a hard kill leaves a
     measured number on the record (stdout stays reserved for the ONE final line)."""
@@ -105,9 +154,12 @@ def main():
     batch_size = 64
     n_images = int(os.environ.get("BENCH_N_IMAGES", 10_000))
     sync_every = int(os.environ.get("BENCH_SYNC_EVERY", 4))
-    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1020))
+    # the r02 driver kill landed at ~29m43s after start => budget ~30 min; keep a
+    # multi-minute margin for scoring + final print
+    deadline_s = float(os.environ.get("BENCH_DEADLINE_S", 1440))
     score_reserve_s = float(os.environ.get("BENCH_SCORE_RESERVE_S", 90))
     cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/mammodissect_bench_cache")
+    _start_watchdog(deadline_s)
     pool_n = min(n_images, 1024)
     n_concepts = 762
     layers = [f"blocks.{i}" for i in range(39)]
@@ -121,8 +173,10 @@ def main():
     )
 
     note("generating pool")
+    PROGRESS["stage"] = "pool"
     rng = np.random.default_rng(0)
     pool = np.frombuffer(rng.bytes(pool_n * h * w), np.uint8).reshape(pool_n, h, w, 1)
+    PROGRESS["stage"] = "warmup_compile"
 
     # warmup/compile: one chunk's worth through the resident step (the step program is
     # probe-size independent â€” fixed-capacity chunks), includes remote-compile warmup
@@ -164,6 +218,7 @@ def main():
     # ---- timed: the 10k-image harvest through the resident engine path, bounded by
     # the wall-clock budget; completed chunks spill to the cache (resume on rerun) ----
     harvest_deadline = T_PROC + deadline_s - score_reserve_s
+    PROGRESS["stage"] = "harvest"
     note(f"timed harvest of {n_images} "
          f"(budget {harvest_deadline - time.monotonic():.0f}s)")
     probe = CyclicProbe(pool, n_images, mean, std)
@@ -181,6 +236,9 @@ def main():
                 return
             now = time.perf_counter()
             dn, dt = seen - last["n"], now - last["t"]
+            PROGRESS["n_images"] = seen
+            if dn > 0 and dt > 0:
+                PROGRESS["last_rate_img_per_s"] = dn / dt
             if dn > 0 and last["n"] > 0:
                 tail = summarize_timing(timing[-sync_every:], tail_n=sync_every)
                 stride = tail.get(f"last_{sync_every}", {})
@@ -217,6 +275,7 @@ def main():
                    elapsed_s=round(time.monotonic() - T_PROC, 1))
 
     # ---- timed: concept-text embedding through the real BERT tower ----
+    PROGRESS["stage"] = "text_embed"
     t0 = time.perf_counter()
     token_ids = rng.integers(1, vocab, size=(n_concepts, 64), dtype=np.int32)
     attn = np.ones_like(token_ids)
@@ -227,6 +286,7 @@ def main():
     # first call pays the scorer compile (reported separately); the hoisted jitted
     # scorer makes the second call a pure cache hit (measured)
     note("scoring")
+    PROGRESS["stage"] = "score"
     t0 = time.perf_counter()
     score_resident(act_chunks, emb_chunks, n_seen, text_feats, widths, "soft_wpmi")
     score_compile_s = time.perf_counter() - t0
@@ -281,7 +341,7 @@ def main():
             "concepts": n_concepts,
         },
     }
-    print(json.dumps(result))
+    _emit_final(result)
 
 
 if __name__ == "__main__":

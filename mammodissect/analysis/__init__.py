@@ -5,9 +5,13 @@ post-processing is reproducible without notebooks."""
 from mammodissect.analysis.postprocess import (
     add_global_threshold,
     add_local_threshold,
+    concept_domain_counts,
     layer_mean_similarity,
+    load_category_map,
     load_descriptions_csv,
+    load_workbook_category_maps,
     map_categories,
+    map_concepts_to_categories,
     top_categories_per_layer,
 )
 
@@ -16,6 +20,10 @@ __all__ = [
     "layer_mean_similarity",
     "add_local_threshold",
     "add_global_threshold",
+    "concept_domain_counts",
+    "load_category_map",
+    "load_workbook_category_maps",
     "map_categories",
+    "map_concepts_to_categories",
     "top_categories_per_layer",
 ]

@@ -301,7 +301,8 @@ def get_probe(spec: str, **kw) -> Probe:
             "image_col", "root", "label_col", "split_col", "split", "size_hw", "mean",
             "std", "filters")})
     if spec in ("vindr", "csaw", "csaw_all_splits", "embed_png", "embed_marker_84",
-                "embed_marker_only", "embed_implant", "embed_non_implant"):
+                "embed_marker_only", "embed_implant", "embed_non_implant",
+                "embed_non_implant_100"):
         # reference probe names resolve to CSV probes rooted at a data dir
         csv_file = kw.get("csv_file")
         if not csv_file:
@@ -315,6 +316,9 @@ def get_probe(spec: str, **kw) -> Probe:
             "embed_marker_only": {"Marker": 1},
             "embed_implant": {"Implant_type": 1},
             "embed_non_implant": {"Implant_type": 0},
+            # the reference's 100-image variant is the same dataset pointed at a
+            # 100-row CSV (`data_utils.py:240-251`); the name resolves identically
+            "embed_non_implant_100": {"Implant_type": 0},
         }
         filters = kw.get("filters", embed_filters.get(spec))
         return CsvProbe(csv_file, root=kw.get("root", ""),

@@ -152,3 +152,43 @@ def test_workbook_category_maps_from_vendored_xlsx():
     assert out.loc[0, "Category"] == "Breast Structures or Anatomy"
     assert out.loc[0, "Broad_categories"] == "Breast_anatomy_or_structure"
     assert pd.isna(out.loc[1, "Category"])
+
+
+def test_analyze_cli_end_to_end(tmp_path):
+    """`python -m mammodissect.cli.analyze`: two dissection CSVs -> processed CSVs
+    with Top_concept / thresholds / Global_thresh_met / workbook categories +
+    Figure-4 artifacts — the full headless Plots/ flow from this repo alone."""
+    pytest.importorskip("matplotlib")
+    from mammodissect.cli.analyze import main
+
+    rng = np.random.default_rng(0)
+    concepts = ["breast", "mass", "calcification", "grass", "sky", "dog"]
+
+    def make_csv(path, offset):
+        rows = []
+        for layer in ["blocks.0", "blocks.1"]:
+            for u in range(6):
+                cs = [concepts[(u + offset) % 6], concepts[(u + offset + 1) % 6]]
+                rows.append(dict(layer=layer, unit=u, description=str(cs),
+                                 similarity=str([0.3 + 0.1 * u, 0.1]),
+                                 images=str([0, 1, 2])))
+        pd.DataFrame(rows).to_csv(path, index=False)
+
+    a, b = tmp_path / "M_desc.csv", tmp_path / "G_desc.csv"
+    make_csv(a, 0)
+    make_csv(b, 2)
+    out = tmp_path / "out"
+    rc = main(["--csv", str(a), "--csv_b", str(b), "--out_dir", str(out), "--figures"])
+    assert rc == 0
+
+    pa = pd.read_csv(out / "M_desc_processed.csv")
+    for col in ("Top_concept", "Threshold_met", "Global_thresh_met",
+                "Category", "Broad_categories"):
+        assert col in pa.columns, col
+    # workbook mapping applied: 'breast' is a known workbook concept
+    got = pa[pa.Top_concept == "breast"]["Broad_categories"]
+    assert (got == "Breast_anatomy_or_structure").all() and len(got)
+    assert (out / "global_thresholds.csv").exists()
+    for fig in ("fig4a_layer_means.png", "fig4b_domain_counts.png",
+                "fig4c_top_categories.png"):
+        assert (out / fig).stat().st_size > 2000

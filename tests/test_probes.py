@@ -64,3 +64,19 @@ def test_txt_probe(tmp_path, csv_probe_data):
     assert p.label(1) == 7
     img = p.image(0)
     assert img.shape == (24, 24, 3)
+
+
+def test_synthetic_u8_probe_spec():
+    """CLI-reachable uint8 probe: image_u8 fast path + mammography constants."""
+    from mammodissect.data.probes import get_probe
+
+    p = get_probe("synthetic_u8", n=12, h=32, w=24, c=1)
+    assert len(p) == 12 and p.image_shape == (32, 24, 1)
+    assert p.image_u8(0).dtype == np.uint8
+    assert abs(p.mean - 0.3089279) < 1e-6
+    # normalized float view consistent with the on-device u8 math
+    x = p.image(3)
+    assert x.dtype == np.float32 and x.shape == (32, 24, 1)
+    # deterministic across constructions
+    q = get_probe("synthetic_u8", n=12, h=32, w=24, c=1)
+    np.testing.assert_array_equal(p.image_u8(5), q.image_u8(5))
