@@ -29,7 +29,8 @@ def _load_reference_tokenizer():
         import regex  # noqa: F401  (the oracle needs it)
     except Exception:
         pytest.skip("regex package unavailable")
-    if "ftfy" not in sys.modules:
+    stubbed = "ftfy" not in sys.modules
+    if stubbed:
         stub = types.ModuleType("ftfy")
         stub.fix_text = lambda s: s
         sys.modules["ftfy"] = stub
@@ -38,6 +39,11 @@ def _load_reference_tokenizer():
         import simple_tokenizer as ref_mod
     finally:
         sys.path.remove(REF_TOKENIZER_DIR)
+        # the stub must NOT leak: transformers probes importlib.metadata for "ftfy"
+        # and a version-less stub module breaks its import suite-wide
+        if stubbed:
+            sys.modules.pop("ftfy", None)
+        sys.modules.pop("simple_tokenizer", None)  # keep the namespace clean too
     return ref_mod.SimpleTokenizer(bpe_path=clip_bpe_vocab_path())
 
 
