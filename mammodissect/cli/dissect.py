@@ -54,8 +54,12 @@ def build_parser() -> argparse.ArgumentParser:
                         "selects the TPU/CPU backend)")
     p.add_argument("--resident", action="store_true",
                    help="device-resident fused M-dissect: accumulate + score on "
-                        "device, fetch only CSV-sized results (skips the disk-staged "
-                        "activation cache; fastest on slow-fetch runtimes)")
+                        "device, fetch only CSV-sized results; completed chunks "
+                        "spill to --activation_dir so interrupted runs resume")
+    p.add_argument("--deadline_s", type=float, default=None,
+                   help="wall-clock budget for a --resident run: stop the harvest "
+                        "at the next batch boundary, score what was harvested, and "
+                        "resume from the spilled chunks on the next invocation")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace (Perfetto/XProf) to this dir")
     p.add_argument("--debug_nans", action="store_true",
@@ -94,6 +98,7 @@ def main(argv=None):
         target_kwargs=json.loads(args.target_kwargs),
         dissector_kwargs=json.loads(args.dissector_kwargs),
         resident=args.resident,
+        deadline_s=args.deadline_s,
     )
     if args.debug_nans:
         from mammodissect.utils.profiling import enable_debug_nans

@@ -94,13 +94,16 @@ class DissectConfig:
     probe_kwargs: dict = field(default_factory=dict)
     target_kwargs: dict = field(default_factory=dict)
     dissector_kwargs: dict = field(default_factory=dict)
-    # device-resident fused M-dissect: activations+embeddings accumulate on device and
-    # scoring runs there too; only CSV-sized results cross the wire. Trades the
-    # disk-staged cache (resume point) for minimal relay traffic — the fast path on
-    # runtimes with slow device->host fetch. Falls back to the staged path when the
-    # target isn't the dissector's own image tower (or under a >1-device mesh, where
-    # the sharded staged harvest applies).
+    # device-resident fused M-dissect: activations+embeddings accumulate on device
+    # (sharded over Mesh('data') when >1 device) and scoring runs there too; only
+    # CSV-sized results cross the wire. Completed chunks spill to the activation
+    # cache so interrupted runs resume at batch granularity. Falls back to the
+    # staged path when the target isn't the dissector's own image tower.
     resident: bool = False
+    # wall-clock budget (seconds) for a resident run: the harvest stops at the next
+    # batch boundary once exceeded and the CSV covers the images harvested so far;
+    # a rerun resumes from the spilled chunks and completes. None = unbounded.
+    deadline_s: Optional[float] = None
 
 
 def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None,
@@ -570,13 +573,18 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
     if hasattr(dissector, "resident_accumulator_shardings"):
         rows_sharding, u8_sharding = dissector.resident_accumulator_shardings()
 
+    if rows_sharding is not None:
+        # jitted creation with out_shardings: the zeros materialize sharded on
+        # device, never crossing the host wire. Built ONCE — a fresh closure per
+        # chunk would re-trace (and pay a remote compile) every chunk.
+        _zeros_sharded = jax.jit(
+            lambda n_cols: jnp.zeros((cap, n_cols), jnp.float32),
+            static_argnums=0, out_shardings=rows_sharding)
+
     def _zeros(n_cols):
         if rows_sharding is None:
             return jnp.zeros((cap, n_cols), jnp.float32)
-        # jitted creation with out_shardings: the zeros materialize sharded on
-        # device, never crossing the host wire
-        return jax.jit(lambda: jnp.zeros((cap, n_cols), jnp.float32),
-                       out_shardings=rows_sharding)()
+        return _zeros_sharded(n_cols)
 
     def _put(flat):
         return jax.device_put(flat, u8_sharding) if u8_sharding is not None \
@@ -865,10 +873,15 @@ def _run_dissection_resident(cfg: DissectConfig, probe=None, target=None,
     os.makedirs(cfg.activation_dir, exist_ok=True)
     d_probe_key = cfg.d_probe.replace("/", "_").replace(":", "_")
     cache_key = f"{cfg.save_prefix}{d_probe_key}_{cfg.clip_model}_resident_b{bs}"
+    deadline = time.monotonic() + cfg.deadline_s if cfg.deadline_s else None
     t0 = time.time()
     act_chunks, emb_chunks, names, widths, n_images = fused_harvest_embed_resident(
         dissector, probe, layers, cfg.pool_mode, bs,
-        cache_dir=cfg.activation_dir, cache_key=cache_key, log=log)
+        cache_dir=cfg.activation_dir, cache_key=cache_key, log=log,
+        deadline=deadline)
+    if n_images < len(probe):
+        log(f"[resident] PARTIAL dissection: {n_images}/{len(probe)} images within "
+            f"the {cfg.deadline_s}s budget; rerun to resume and complete")
     text_feats = dissector.embed_texts(words)
     top_vals, top_idx, img_idx = score_resident(
         act_chunks, emb_chunks, n_images, text_feats, widths, cfg.similarity_fn,

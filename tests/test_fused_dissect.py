@@ -260,3 +260,39 @@ def test_score_resident_does_not_retrace(setup):
     assert engine._score_resident_jit()._cache_size() == size_after_first
     np.testing.assert_allclose(r1[0], r2[0])
     np.testing.assert_array_equal(r1[1], r2[1])
+
+
+def test_run_dissection_deadline_partial_then_complete(setup, tmp_path):
+    """--resident --deadline_s: an expired budget yields a PARTIAL CSV over the
+    harvested images; the rerun (no deadline) resumes from the spilled chunks and
+    matches an uninterrupted run."""
+    import pandas as pd
+
+    from mammodissect.dissect.engine import DissectConfig, run_dissection
+
+    probe, small = setup  # 12 images
+    base = dict(target_model="breastclip", clip_model="breastclip",
+                target_layers=["blocks.0"], d_probe="synthetic_u8",
+                concept_set="tests/assets/tiny_concepts.txt", batch_size=8,
+                dissector_kwargs=small, num_top_concepts=2, num_top_images=2)
+
+    logs = []
+    cfg = DissectConfig(activation_dir=str(tmp_path / "a"),
+                        result_dir=str(tmp_path / "r"), resident=True,
+                        deadline_s=1e-9, **base)
+    df_p, _ = run_dissection(cfg, probe=probe, log=logs.append)
+    assert any("PARTIAL dissection" in str(l) for l in logs), logs
+    assert len(df_p)  # still a valid CSV over the harvested subset
+
+    cfg2 = DissectConfig(activation_dir=str(tmp_path / "a"),
+                         result_dir=str(tmp_path / "r2"), resident=True, **base)
+    logs2 = []
+    df_c, _ = run_dissection(cfg2, probe=probe, log=logs2.append)
+    assert any("resumed" in str(l) for l in logs2), logs2
+    assert not any("PARTIAL" in str(l) for l in logs2)
+
+    cfg3 = DissectConfig(activation_dir=str(tmp_path / "b"),
+                         result_dir=str(tmp_path / "r3"), resident=True, **base)
+    df_ref, _ = run_dissection(cfg3, probe=probe, log=lambda *_: None)
+    pd.testing.assert_frame_equal(
+        df_c.drop(columns=["similarity"]), df_ref.drop(columns=["similarity"]))
