@@ -89,7 +89,12 @@ def _start_watchdog(deadline_s: float):
             time.sleep(min(remain - 5, 10))
         if PROGRESS["printed"]:
             return
-        rate = PROGRESS.get("last_rate_img_per_s", 0.0)
+        # the cumulative harvest average is the honest fallback: the LAST stride sits
+        # in the relay's deepest throttle tier (observed 1.6 img/s while the run
+        # averaged ~3x that), and a wedged transfer means the last stride never
+        # completed at all
+        rate = PROGRESS.get("cum_rate_img_per_s",
+                            PROGRESS.get("last_rate_img_per_s", 0.0))
         _emit_final({
             "metric": "dissect_images_per_sec_per_chip",
             "value": round(float(rate), 2),
@@ -99,9 +104,12 @@ def _start_watchdog(deadline_s: float):
                 "watchdog_timeout": True,
                 "stage": PROGRESS.get("stage"),
                 "n_images_measured": PROGRESS.get("n_images", 0),
+                "last_stride_img_per_s": round(
+                    float(PROGRESS.get("last_rate_img_per_s", 0.0)), 2),
                 "elapsed_s": round(time.monotonic() - T_PROC, 1),
                 "note": "runtime stalled (remote compile/transfer wedge); value is "
-                        "the last observed harvest rate, 0.0 if none was measured",
+                        "the cumulative harvest rate observed before the stall, "
+                        "0.0 if none was measured",
             },
         })
         sys.stderr.flush()
@@ -239,6 +247,13 @@ def main():
             PROGRESS["n_images"] = seen
             if dn > 0 and dt > 0:
                 PROGRESS["last_rate_img_per_s"] = dn / dt
+            # cumulative rate since the first progress line of THIS harvest pass
+            # (excludes resumed chunks; reset if a cache-wipe re-harvest restarted)
+            if "first" not in last or seen < last["first"][0]:
+                last["first"] = (seen, now)
+            f_n, f_t = last["first"]
+            if seen > f_n and now > f_t:
+                PROGRESS["cum_rate_img_per_s"] = (seen - f_n) / (now - f_t)
             if dn > 0 and last["n"] > 0:
                 tail = summarize_timing(timing[-sync_every:], tail_n=sync_every)
                 stride = tail.get(f"last_{sync_every}", {})

@@ -551,7 +551,10 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
 
     deadline (a time.monotonic() value) stops the harvest at the next batch boundary
     once reached — partial results are valid (rows are sequential) and the caller
-    scores whatever was harvested.
+    scores whatever was harvested. The check is predictive: the loop stops when the
+    time remaining is less than ~1.5x the previous batch's wall time, because a
+    single blocking upload in this runtime's throttled relay can run many minutes
+    and the deadline cannot interrupt it mid-transfer.
 
     timing, if a list, collects per-batch dicts {"assemble_s","put_s","step_s",
     "sync_s"} for transport diagnostics.
@@ -650,11 +653,13 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
             if timing is not None:
                 timing.append({"assemble_s": t1 - t0, "put_s": t2 - t1,
                                "step_s": t3 - t2, "sync_s": t4 - t3})
-            if deadline is not None and time.monotonic() >= deadline:
-                if log is not None:
-                    log(f"[resident] deadline reached at {n_images}/{len(probe)} "
-                        f"images; finalizing with the partial harvest")
-                break
+            if deadline is not None:
+                margin = min(1.5 * (t4 - t0), 120.0)
+                if time.monotonic() >= deadline - margin:
+                    if log is not None:
+                        log(f"[resident] deadline reached at {n_images}/{len(probe)} "
+                            f"images; finalizing with the partial harvest")
+                    break
         if acc_a is not None:
             act_chunks.append(acc_a)
             emb_chunks.append(acc_e)
