@@ -60,6 +60,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wall-clock budget for a --resident run: stop the harvest "
                         "at the next batch boundary, score what was harvested, and "
                         "resume from the spilled chunks on the next invocation")
+    p.add_argument("--wandb", action="store_true",
+                   help="log run config + status events to wandb (offline mode), "
+                        "mirroring the reference driver's status stream "
+                        "(describe_broad_neurons.py:14,77,99,121,173)")
+    p.add_argument("--wandb_name", type=str, default=None,
+                   help="wandb run name (reference default: the naming-matrix stem)")
     p.add_argument("--profile", type=str, default=None,
                    help="write a jax.profiler trace (Perfetto/XProf) to this dir")
     p.add_argument("--debug_nans", action="store_true",
@@ -104,13 +110,33 @@ def main(argv=None):
         from mammodissect.utils.profiling import enable_debug_nans
 
         enable_debug_nans()
+    # wandb status-event stream, same event shapes as the reference driver
+    # (`describe_broad_neurons.py:77,99,121,173`): per-layer similarity events are
+    # derived from the engine's "[score] <layer>: ..." progress lines
+    from mammodissect.train.loggers import WandbLogger
+
+    wb = WandbLogger(project="broader_clip-dissect", name=args.wandb_name,
+                     config=vars(args), enabled=args.wandb)
+
+    def log(msg):
+        print(msg)
+        s = str(msg)
+        if s.startswith("[score] "):
+            wb.log({"layer": s[len("[score] "):].split(":")[0],
+                    "similarity_calculated": True})
+        elif s.startswith(("[harvest]", "[fused]", "[resident]")):
+            wb.log({"status": "activations_saved"})
+
     if args.profile:
         from mammodissect.utils.profiling import trace
 
         with trace(args.profile):
-            df, csv_path = run_dissection(cfg)
+            df, csv_path = run_dissection(cfg, log=log)
     else:
-        df, csv_path = run_dissection(cfg)
+        df, csv_path = run_dissection(cfg, log=log)
+    wb.log({"status": "all_layers_processed"})
+    wb.log({"status": "results_saved"})
+    wb.finish()
     print(f"Dissection done! {len(df)} units described. Results saved to {csv_path}")
     return 0
 

@@ -121,3 +121,45 @@ def test_default_embedder_warns_without_checkpoint(recwarn):
 
     with _pytest.warns(UserWarning, match="RANDOM-INIT"):
         default_text_embedder("bert", bert_layers=1)
+
+
+def test_cli_wandb_status_stream(tmp_path, monkeypatch):
+    """--wandb emits the reference driver's status-event shapes
+    (`describe_broad_neurons.py:77,99,121,173`): activations_saved, per-layer
+    similarity_calculated, all_layers_processed, results_saved — via a stubbed
+    offline wandb module."""
+    import sys
+    import types
+
+    events = []
+
+    class _Run:
+        def log(self, data):
+            events.append(data)
+
+        def finish(self):
+            events.append({"finished": True})
+
+    stub = types.ModuleType("wandb")
+    stub.init = lambda **kw: _Run()
+    monkeypatch.setitem(sys.modules, "wandb", stub)
+
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    from mammodissect.cli.dissect import main
+
+    concepts = tmp_path / "c.txt"
+    concepts.write_text("a\nb\nc\nd\ne\n")
+    main([
+        "--target_model", "tiny_cnn", "--d_probe", "synthetic",
+        "--target_layers", "blocks.1", "--concept_set", str(concepts),
+        "--clip_model", "random", "--similarity_fn", "cos_similarity",
+        "--result_dir", str(tmp_path / "r"), "--activation_dir", str(tmp_path / "a"),
+        "--probe_kwargs", '{"n": 8, "h": 64, "w": 64, "c": 1}', "--wandb",
+    ])
+    assert {"status": "activations_saved"} in events
+    assert {"layer": "blocks.1", "similarity_calculated": True} in events
+    assert {"status": "all_layers_processed"} in events
+    assert {"status": "results_saved"} in events
+    assert events[-1] == {"finished": True}
