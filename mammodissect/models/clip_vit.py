@@ -336,13 +336,17 @@ def _register():
     from mammodissect.dissect.dissectors import DISSECTORS
     from mammodissect.dissect.targets import TARGETS
 
-    for name in ("ViT-B/32", "ViT-B/16", "ViT-L/14", "clip"):
+    # "clip"/"clip-cub"/"clip-bloodmnist" are the reference MODELS spellings for the
+    # openai/clip-vit-base-patch16 tower and its fine-tunes (`data_utils.py:24,29,32`)
+    # — same ViT-B/16 architecture; pass ckpt_path for fine-tuned weights
+    for name in ("ViT-B/32", "ViT-B/16", "ViT-L/14", "clip", "clip-cub",
+                 "clip-bloodmnist"):
+        arch = "ViT-B/16" if name.startswith("clip") else name
         if name not in DISSECTORS:
-            DISSECTORS.register(name, lambda name=name, **kw: OpenAIClip(
-                name if name != "clip" else "ViT-B/16", **kw))
+            DISSECTORS.register(name, lambda arch=arch, **kw: OpenAIClip(arch, **kw))
         if name not in TARGETS:
-            TARGETS.register(name, lambda name=name, **kw: OpenAIClip(
-                name if name != "clip" else "ViT-B/16",
+            TARGETS.register(name, lambda arch=arch, **kw: OpenAIClip(
+                arch,
                 **{k: v for k, v in kw.items() if k not in ("finetuned_ckpt", "num_class")}))
 
 

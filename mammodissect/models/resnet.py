@@ -213,6 +213,18 @@ def _register():
                        if k in ("num_classes", "ckpt_path", "seed", "input_size")},
                 ),
             )
+    # reference MODELS spellings for microsoft/resnet-50 and its fine-tunes
+    # (`data_utils.py:25,30,34`): same resnet50 stage layout; ckpt_path for weights
+    for alias in ("resnet", "resnet-cub", "resnet-bloodmnist"):
+        if alias not in TARGETS:
+            TARGETS.register(
+                alias,
+                lambda **kw: ResNetTarget(
+                    variant="resnet50",
+                    **{k: v for k, v in kw.items()
+                       if k in ("num_classes", "ckpt_path", "seed", "input_size")},
+                ),
+            )
     if "resnet18_places" not in TARGETS:
         TARGETS.register(
             "resnet18_places",

@@ -163,3 +163,28 @@ def test_cli_wandb_status_stream(tmp_path, monkeypatch):
     assert {"status": "all_layers_processed"} in events
     assert {"status": "results_saved"} in events
     assert events[-1] == {"finished": True}
+
+
+def test_reference_models_dict_names_all_resolve():
+    """Every spelling in the reference's HF target zoo (`concept_vit/data_utils.py:
+    21-36` MODELS) resolves through get_target_model — incl. the -cub/-bloodmnist
+    fine-tune aliases (same architectures; weights come via ckpt_path)."""
+    from mammodissect.dissect.targets import TARGETS, get_target_model
+
+    # construct one member of each architecture family (tiny geometry where the
+    # factory accepts it) — the aliases below share the same registered factories
+    tiny_vit = {"width": 32, "layers": 1, "heads": 2, "image_size": 32,
+                "patch_size": 16}
+    tiny_clip = {"vision_width": 64, "vision_layers": 1, "vision_heads": 2,
+                 "image_size": 32, "patch_size": 16, "embed_dim": 16,
+                 "text_width": 32, "text_layers": 1, "text_heads": 2}
+    for n, kw in (("vit", tiny_vit), ("clip-cub", tiny_clip),
+                  ("resnet-bloodmnist", {"input_size": 32})):
+        t = get_target_model(n, **kw)
+        assert hasattr(t, "harvest"), n
+    # the rest share those factories; registration (after the lazy imports above)
+    # is the contract — constructing all 13 default-size towers would be slow
+    for n in ["dino", "clip", "resnet", "mae", "dino-cub", "vit-cub",
+              "resnet-cub", "dino-bloodmnist", "vit-bloodmnist",
+              "clip-bloodmnist"]:
+        assert n in TARGETS, n
