@@ -859,6 +859,16 @@ def _run_dissection_resident(cfg: DissectConfig, probe=None, target=None,
             and not cfg.target_kwargs
             and not cfg.finetuned_ckpt and target is None):
         return None
+    import jax
+
+    if jax.process_count() > 1:
+        # real multi-host runs: the resident accumulators are single-process
+        # device_puts and the chunk spiller writes one host's view — the staged
+        # path has the per-host probe shard + allgather-and-trim machinery
+        # (`harvest_probe`), so fall back loudly rather than mis-shard
+        log("[resident] multi-host run detected (process_count > 1); using the "
+            "staged path, which shards the probe per host")
+        return None
     mesh = auto_data_mesh()
     probe = probe or get_probe(cfg.d_probe, **cfg.probe_kwargs)
     if not (hasattr(probe, "image_u8") and hasattr(probe, "mean")):

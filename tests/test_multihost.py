@@ -174,3 +174,26 @@ def test_simulated_3proc_prewrapped_probe_keeps_total(monkeypatch):
     acc, n = harvest_probe(target, pre, layers, "avg", 6)
     assert n == n_images  # NOT the per-host shard length (5)
     np.testing.assert_allclose(acc["blocks.0"], want["blocks.0"], rtol=0, atol=1e-6)
+
+
+def test_resident_falls_back_to_staged_on_multihost(monkeypatch, tmp_path):
+    """--resident on a real multi-host run (process_count > 1) must fall back to the
+    staged path (per-host probe shards + allgather), not device_put host-local
+    accumulators into a host-spanning sharding."""
+    import jax
+
+    from mammodissect.data.probes import ArrayProbe
+    from mammodissect.dissect.engine import DissectConfig, _run_dissection_resident
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    rng = np.random.default_rng(0)
+    probe = ArrayProbe(rng.integers(0, 256, size=(8, 32, 32, 1), dtype=np.uint8),
+                       mean=0.3, std=0.25)
+    logs = []
+    cfg = DissectConfig(target_model="breastclip", clip_model="breastclip",
+                        target_layers=["blocks.0"], resident=True,
+                        activation_dir=str(tmp_path / "a"),
+                        result_dir=str(tmp_path / "r"))
+    out = _run_dissection_resident(cfg, probe=probe, log=logs.append)
+    assert out is None
+    assert any("multi-host" in str(l) for l in logs), logs
