@@ -68,12 +68,18 @@ def note(msg):
 # indefinitely after an earlier killed process; a blocked C call can't observe the
 # deadline, so a daemon thread guarantees the final JSON line no matter what).
 PROGRESS: dict = {"stage": "boot", "printed": False}
+_EMIT_LOCK = __import__("threading").Lock()
 
 
 def _emit_final(result):
-    if not PROGRESS["printed"]:
+    # atomic test-and-set: the watchdog and the main thread can race right at the
+    # deadline, and stdout must carry exactly ONE final JSON line
+    with _EMIT_LOCK:
+        if PROGRESS["printed"]:
+            return False
         PROGRESS["printed"] = True
-        print(json.dumps(result), flush=True)
+    print(json.dumps(result), flush=True)
+    return True
 
 
 def _start_watchdog(deadline_s: float):
@@ -95,7 +101,7 @@ def _start_watchdog(deadline_s: float):
         # completed at all
         rate = PROGRESS.get("cum_rate_img_per_s",
                             PROGRESS.get("last_rate_img_per_s", 0.0))
-        _emit_final({
+        printed_by_watchdog = _emit_final({
             "metric": "dissect_images_per_sec_per_chip",
             "value": round(float(rate), 2),
             "unit": "img/s/chip",
@@ -114,6 +120,8 @@ def _start_watchdog(deadline_s: float):
         })
         sys.stderr.flush()
         sys.stdout.flush()
+        if not printed_by_watchdog:
+            return  # main won the race and already printed: let it exit normally
         os._exit(3)  # the runtime is wedged; a normal exit may never happen
 
     t = threading.Thread(target=run, daemon=True)
@@ -268,13 +276,18 @@ def main():
         deadline=harvest_deadline, timing=timing,
     )
     if not timing and n_seen:
-        # a previous run's cache fully covered the probe: nothing was measured. Wipe
-        # and re-harvest within the remaining budget — the published rate must come
-        # from THIS run's transport+compute, not from disk.
-        import shutil
+        # a previous run's cache fully covered the probe: nothing was measured.
+        # Delete only THIS run's cache_key files (the dir may hold other runs'
+        # resumable chunks) and re-harvest within the remaining budget — the
+        # published rate must come from THIS run's transport+compute, not disk.
+        import glob
 
         note("cache fully covers the probe; re-measuring with a fresh harvest")
-        shutil.rmtree(cache_dir, ignore_errors=True)
+        for p in glob.glob(os.path.join(cache_dir, f"{cache_key}_*")):
+            try:
+                os.remove(p)
+            except OSError:
+                pass
         t0 = time.perf_counter()
         act_chunks, emb_chunks, names, widths, n_seen = fused_harvest_embed_resident(
             dissector, probe, layers, "avg", batch_size, sync_every=sync_every,

@@ -72,13 +72,24 @@ def main(argv=None) -> int:
             df = map_categories(df, broad_map, column="Broad_categories")
         return df
 
+    def stem_of(path):
+        return os.path.splitext(os.path.basename(path))[0]
+
     df_a = process(args.csv)
-    frames = {os.path.splitext(os.path.basename(args.csv))[0]: df_a}
+    stem_a = stem_of(args.csv)
+    frames = {stem_a: df_a}
     if args.csv_b:
         df_b = process(args.csv_b)
         df_a, df_b, global_thresh = add_global_threshold(df_a, df_b)
-        frames = {os.path.splitext(os.path.basename(args.csv))[0]: df_a,
-                  os.path.splitext(os.path.basename(args.csv_b))[0]: df_b}
+        stem_b = stem_of(args.csv_b)
+        if stem_b == stem_a:
+            # both runs naming their output descriptions.csv is the natural layout;
+            # disambiguate by the parent directory so neither run is dropped
+            stem_a = f"{os.path.basename(os.path.dirname(os.path.abspath(args.csv))) or 'a'}_{stem_a}"
+            stem_b = f"{os.path.basename(os.path.dirname(os.path.abspath(args.csv_b))) or 'b'}_{stem_b}"
+            if stem_b == stem_a:
+                stem_b += "_b"
+        frames = {stem_a: df_a, stem_b: df_b}
         global_thresh.rename("Global_threshold").to_csv(
             os.path.join(args.out_dir, "global_thresholds.csv"))
 

@@ -607,10 +607,15 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
         for a, e in spiller.load_existing(cap, u_total, emb_dim):
             act_chunks.append(a)
             emb_chunks.append(e)
-        consumed = n_images = len(act_chunks) * cap
+        consumed = len(act_chunks) * cap
+        # the probe's short final batch can land exactly on a chunk boundary, in
+        # which case the last complete chunk carries padding rows — valid images
+        # can never exceed the probe length (scoring must not see padded rows)
+        n_images = min(consumed, len(probe))
         part = spiller.load_partial(len(act_chunks), cap, u_total, emb_dim, batch_size)
         if part is not None:
             pa, pe, offset, n_images = part
+            n_images = min(n_images, len(probe))
             acc_a, acc_e = _put_rows(pa), _put_rows(pe)
             consumed = len(act_chunks) * cap + offset
         if consumed and log is not None:
@@ -887,8 +892,18 @@ def _run_dissection_resident(cfg: DissectConfig, probe=None, target=None,
     # stopped (the staged path's skip-if-exists semantics, `utils.py:648-657`)
     os.makedirs(cfg.activation_dir, exist_ok=True)
     d_probe_key = cfg.d_probe.replace("/", "_").replace(":", "_")
-    cache_key = f"{cfg.save_prefix}{d_probe_key}_{cfg.clip_model}_resident_b{bs}"
-    deadline = time.monotonic() + cfg.deadline_s if cfg.deadline_s else None
+    # the key must cover EVERYTHING that changes chunk contents: a pool_mode /
+    # layer-list / probe_kwargs change can leave (cap, U_total) identical, and
+    # geometry validation alone would silently resume stale chunks
+    import hashlib
+
+    sig = hashlib.sha1(repr((tuple(layers), cfg.pool_mode,
+                             sorted(cfg.probe_kwargs.items()),
+                             cfg.breast_clip_ckpt)).encode()).hexdigest()[:8]
+    cache_key = (f"{cfg.save_prefix}{d_probe_key}_{cfg.clip_model}"
+                 f"_resident_b{bs}_{sig}")
+    deadline = (time.monotonic() + cfg.deadline_s
+                if cfg.deadline_s is not None else None)
     t0 = time.time()
     act_chunks, emb_chunks, names, widths, n_images = fused_harvest_embed_resident(
         dissector, probe, layers, cfg.pool_mode, bs,
@@ -919,6 +934,9 @@ def _run_dissection_resident(cfg: DissectConfig, probe=None, target=None,
             [[words[int(i)] for i in row] for row in top_idx[sl]])
         outputs["similarity"].extend([row.tolist() for row in top_vals[sl]])
         outputs["images"].extend([row.tolist() for row in img_idx[sl]])
+        # staged-path log parity: downstream consumers (the CLI's wandb status
+        # stream) key per-layer events on these lines
+        log(f"[score] {layer}: {w} units scored")
     return write_results(outputs, cfg)
 
 
@@ -927,6 +945,10 @@ def run_dissection(cfg: DissectConfig, probe=None, target=None, dissector=None, 
     layer, emit the results CSV `{layer, unit, description, similarity, images}` and an
     args.txt metadata dump. Returns (DataFrame, csv_path)."""
     if cfg.resident:
+        # build the probe once: on a non-resident-capable configuration the
+        # fallback hands the SAME probe to the staged path instead of re-reading
+        # the CSV/folder from scratch
+        probe = probe or get_probe(cfg.d_probe, **cfg.probe_kwargs)
         out = _run_dissection_resident(cfg, probe=probe, target=target,
                                        dissector=dissector, log=log)
         if out is not None:

@@ -192,3 +192,27 @@ def test_analyze_cli_end_to_end(tmp_path):
     for fig in ("fig4a_layer_means.png", "fig4b_domain_counts.png",
                 "fig4c_top_categories.png"):
         assert (out / fig).stat().st_size > 2000
+
+
+def test_analyze_cli_same_basename_csvs_both_written(tmp_path):
+    """Regression: --csv runs/M/descriptions.csv --csv_b runs/G/descriptions.csv
+    collided on the basename stem and silently dropped one run's processed CSV."""
+    from mammodissect.cli.analyze import main
+
+    def make_csv(path):
+        path.parent.mkdir(parents=True)
+        rows = [dict(layer="blocks.0", unit=u, description=str(["mass", "sky"]),
+                     similarity=str([0.5, 0.1]), images=str([0, 1]))
+                for u in range(3)]
+        pd.DataFrame(rows).to_csv(path, index=False)
+
+    a = tmp_path / "M" / "descriptions.csv"
+    b = tmp_path / "G" / "descriptions.csv"
+    make_csv(a)
+    make_csv(b)
+    out = tmp_path / "out"
+    assert main(["--csv", str(a), "--csv_b", str(b), "--out_dir", str(out)]) == 0
+    import glob as _glob
+
+    processed = sorted(_glob.glob(str(out / "*_processed.csv")))
+    assert len(processed) == 2, processed

@@ -296,3 +296,64 @@ def test_run_dissection_deadline_partial_then_complete(setup, tmp_path):
     df_ref, _ = run_dissection(cfg3, probe=probe, log=lambda *_: None)
     pd.testing.assert_frame_equal(
         df_c.drop(columns=["similarity"]), df_ref.drop(columns=["similarity"]))
+
+
+def test_resume_clamps_padding_when_tail_completes_chunk(setup, tmp_path):
+    """Regression: a short final batch landing exactly on a chunk boundary left
+    padding rows inside the last complete chunk; a rerun resumed with
+    n_images = n_chunks * cap (> len(probe)), scoring garbage rows."""
+    from mammodissect.data.probes import ArrayProbe
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import fused_harvest_embed_resident
+
+    _, small = setup
+    rng = np.random.default_rng(3)
+    probe6 = ArrayProbe(rng.integers(0, 256, size=(6, 64, 48, 1), dtype=np.uint8),
+                        mean=0.3, std=0.25)
+    d = get_dissector("breastclip", **small)
+    layers = ["blocks.0"]
+    cache = str(tmp_path / "cache")
+
+    # batch 4, cap = 2*4 = 8: images 5-6 land in batch 2 (2 valid + 2 padding),
+    # which COMPLETES chunk 0 — no partial spilled
+    a1, e1, *_, n1 = fused_harvest_embed_resident(
+        d, probe6, layers, "avg", batch_size=4, chunk_batches=2,
+        cache_dir=cache, cache_key="k6")
+    assert n1 == 6
+
+    # rerun: resumes from the complete chunk and must NOT report padded rows
+    a2, e2, *_, n2 = fused_harvest_embed_resident(
+        d, probe6, layers, "avg", batch_size=4, chunk_batches=2,
+        cache_dir=cache, cache_key="k6")
+    assert n2 == 6, n2
+    cat = lambda cs, n: np.concatenate([np.asarray(c) for c in cs], axis=0)[:n]
+    np.testing.assert_allclose(cat(a2, n2), cat(a1, n1), rtol=1e-5, atol=1e-5)
+
+
+def test_resident_cache_key_covers_pool_mode(setup, tmp_path):
+    """Regression: an interrupted avg-pool resident run's chunks were silently
+    resumed by a max-pool rerun (identical geometry); the cache key now encodes
+    pool_mode/layers/probe settings so the max run re-harvests."""
+    import pandas as pd
+
+    from mammodissect.dissect.engine import run_dissection
+
+    probe, small = setup
+    base = dict(target_model="breastclip", clip_model="breastclip",
+                target_layers=["blocks.0"], d_probe="synthetic_u8",
+                concept_set="tests/assets/tiny_concepts.txt", batch_size=4,
+                dissector_kwargs=small, resident=True)
+
+    def run(pool_mode, tag, deadline=None, act_dir="a"):
+        cfg = DissectConfig(activation_dir=str(tmp_path / act_dir),
+                            result_dir=str(tmp_path / tag), pool_mode=pool_mode,
+                            deadline_s=deadline, **base)
+        df, _ = run_dissection(cfg, probe=probe, log=lambda *_: None)
+        return df
+
+    run("avg", "avg_partial", deadline=0.0)  # interrupted: spills avg chunks
+    df_max = run("max", "max_resumed")       # must NOT resume the avg chunks
+    # ground truth from an untouched cache dir: equality proves no avg rows leaked
+    df_max_fresh = run("max", "max_fresh", act_dir="b")
+    pd.testing.assert_frame_equal(df_max.reset_index(drop=True),
+                                  df_max_fresh.reset_index(drop=True))
