@@ -90,10 +90,19 @@ def iter_epoch(
     balanced_weights: Optional[np.ndarray] = None,
     drop_last: bool = False,
     label_dtype=np.float32,
+    host_index: int = 0,
+    host_count: int = 1,
 ) -> Iterator[HostBatch]:
     """One epoch of padded static-shape batches. With `balanced_weights`, samples
     len(dataset) indices with replacement ∝ weights (WeightedRandomSampler parity,
-    `dataset_utils.py:202-234`)."""
+    `dataset_utils.py:202-234`).
+
+    host_index/host_count shard the epoch per process for multi-host DP
+    (DistributedSampler parity, `dataset_utils.py:236-251`): every host builds the
+    SAME seeded order, takes its contiguous wrap-padded slice (equal length on
+    every host so the lockstep pjit steps line up), and yields the same number of
+    batches. Eval reassembly = tiled allgather of the per-host predictions then
+    trim to the true length (`parallel.multihost.gather_predictions`)."""
     n = len(dataset)
     rng = np.random.default_rng(seed)
     if balanced_weights is not None:
@@ -103,6 +112,11 @@ def iter_epoch(
         order = rng.permutation(n)
     else:
         order = np.arange(n)
+    if host_count > 1:
+        shard_len = -(-n // host_count)  # ceil: equal length, tail wraps
+        order = np.resize(order, host_count * shard_len)
+        order = order[host_index * shard_len : (host_index + 1) * shard_len]
+        n = shard_len
     h, w, c = dataset.image_shape
     for start in range(0, n, batch_size):
         idx = order[start : start + batch_size]

@@ -189,13 +189,23 @@ def _mem_postfix() -> str:
 
 
 def _run_eval(trainer, dataset, batch_size: int, label_dtype) -> tuple:
+    """Eval pass; on multi-host runs each process scores its contiguous shard and
+    the predictions are allgathered + trimmed to the true dataset length — the
+    reference's dist.all_gather-and-trim (`Classifiers/experiments.py:554-564`)."""
+    hi, hc = jax.process_index(), jax.process_count()
     losses = AverageMeter()
     preds = []
-    for batch in iter_epoch(dataset, batch_size, shuffle=False, label_dtype=label_dtype):
+    for batch in iter_epoch(dataset, batch_size, shuffle=False,
+                            label_dtype=label_dtype, host_index=hi, host_count=hc):
         loss, p = trainer.eval_batch(batch.images, batch.labels)
         losses.update(loss, batch.n_valid)
         preds.append(p[: batch.n_valid])
-    return losses.avg, np.concatenate(preds) if preds else np.zeros(0)
+    local = np.concatenate(preds) if preds else np.zeros(0)
+    if hc > 1:
+        from mammodissect.parallel.multihost import gather_predictions
+
+        return losses.avg, gather_predictions(local, total=len(dataset))
+    return losses.avg, local
 
 
 def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.DataFrame,
@@ -211,7 +221,10 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
     )
     train_ds, valid_ds = mk_ds(train_folds, True), mk_ds(valid_folds, False)
 
-    steps_per_epoch = max(len(train_ds) // cfg.batch_size, 1)
+    hi, hc = jax.process_index(), jax.process_count()
+    # per-host steps (multi-host shards the epoch; the scheduler sees local steps,
+    # matching the reference's per-rank DistributedSampler epoch length)
+    steps_per_epoch = max(-(-len(train_ds) // hc) // cfg.batch_size, 1)
     # warmup_steps logic (`experiments.py:144-150`)
     if cfg.warmup_epochs == 0.1:
         warmup_steps = cfg.epochs
@@ -263,7 +276,8 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
         losses = AverageMeter()
         for batch in iter_epoch(train_ds, cfg.batch_size, shuffle=True,
                                 seed=cfg.seed + epoch, balanced_weights=balanced,
-                                label_dtype=label_dtype):
+                                label_dtype=label_dtype,
+                                host_index=hi, host_count=hc):
             loss = trainer.train_batch(batch.images, batch.labels)
             losses.update(loss, batch.n_valid)
             step += 1
@@ -296,7 +310,9 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
         watch = metrics.get("accuracy", metrics.get("auroc", 0.0))
         if not np.isnan(watch) and watch > best_metric:
             best_metric = watch
-            save_checkpoint(ckpt_path, trainer.state, epoch, metrics, predictions)
+            if hi == 0:  # rank-0-only save (`experiments.py:232,258`); params are
+                # replicated so process 0 holds the full state
+                save_checkpoint(ckpt_path, trainer.state, epoch, metrics, predictions)
             log(f"epoch {epoch + 1}: new best {watch:.4f} -> {ckpt_path}")
         log(f"epoch {epoch + 1}: train {losses.avg:.4f} valid {val_loss:.4f} "
             f"{metrics} {train_metrics}")

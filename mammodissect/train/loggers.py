@@ -47,8 +47,12 @@ class WandbLogger:
 
     def __init__(self, project: Optional[str] = None, name: Optional[str] = None,
                  config: Optional[dict] = None, enabled: bool = False):
+        import jax
+
         self._run = None
-        if not enabled or project is None:
+        # master-only, like every reference wandb.init site (rank-0 gating,
+        # `Classifiers/experiments.py:278,306`)
+        if not enabled or project is None or jax.process_index() != 0:
             return
         try:
             import wandb

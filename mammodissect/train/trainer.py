@@ -143,23 +143,48 @@ class Trainer:
         return jax.jit(step, in_shardings=(None, None, b_shard, b_shard))
 
     # ------------------------------------------------------------------ public
+    def _to_device(self, images, labels):
+        """Single-process: plain arrays (pjit shards them). Multi-host: every
+        process holds its LOCAL slice of the global batch — assemble one global
+        jax.Array over the mesh's 'data' axis (DistributedSampler -> DDP input
+        parity, `Datasets/dataset_utils.py:236-251`)."""
+        if jax.process_count() == 1:
+            return jnp.asarray(images), jnp.asarray(labels)
+        from mammodissect.parallel.multihost import global_batch_from_local
+
+        g = global_batch_from_local(self.mesh, {"i": images, "l": labels})
+        return g["i"], g["l"]
+
+    @staticmethod
+    def _local_rows(preds) -> np.ndarray:
+        """This process's rows of a batch-sharded output (multi-host: the full
+        array is not addressable; each host keeps its own slice and the caller
+        allgathers at epoch end, `experiments.py:554-564`)."""
+        if jax.process_count() == 1:
+            return np.asarray(preds)
+        shards = sorted(preds.addressable_shards,
+                        key=lambda s: s.index[0].start or 0)
+        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+
     def train_batch(self, images: np.ndarray, labels: np.ndarray) -> float:
         self._key, sub = jax.random.split(self._key)
+        images, labels = self._to_device(images, labels)
         with self.mesh:
             p, s, o, loss = self._train_step(
                 self.state.params, self.state.batch_stats, self.state.opt_state,
-                jnp.asarray(images), jnp.asarray(labels), sub,
+                images, labels, sub,
             )
         self.state = TrainerState(p, s, o, self.state.step + 1)
         return float(loss)
 
     def eval_batch(self, images: np.ndarray, labels: np.ndarray) -> Tuple[float, np.ndarray]:
+        images, labels = self._to_device(images, labels)
         with self.mesh:
             loss, preds = self._eval_step(
                 self.state.params, self.state.batch_stats,
-                jnp.asarray(images), jnp.asarray(labels),
+                images, labels,
             )
-        return float(loss), np.asarray(preds)
+        return float(loss), self._local_rows(preds)
 
     @property
     def variables(self) -> Dict:

@@ -197,3 +197,92 @@ def test_resident_falls_back_to_staged_on_multihost(monkeypatch, tmp_path):
     out = _run_dissection_resident(cfg, probe=probe, log=logs.append)
     assert out is None
     assert any("multi-host" in str(l) for l in logs), logs
+
+
+def test_iter_epoch_host_sharding_contract():
+    """Multi-host epoch sharding (DistributedSampler parity): every host sees the
+    same seeded order, shards are equal-length contiguous wrap-padded slices, the
+    union covers the dataset, and eval reassembly (concat + trim) restores the
+    unsharded prediction order."""
+    from mammodissect.train.data import iter_epoch
+
+    class DS:
+        image_shape = (4, 4, 1)
+
+        def __len__(self):
+            return 11
+
+        def image(self, i):
+            return np.full((4, 4, 1), i, np.float32)
+
+        def label(self, i):
+            return float(i)
+
+    ds, bs, hc = DS(), 4, 3
+    per_host = []
+    for hi in range(hc):
+        rows = []
+        batches = 0
+        for b in iter_epoch(ds, bs, shuffle=False, host_index=hi, host_count=hc):
+            rows.extend(b.labels[: b.n_valid].tolist())
+            batches += 1
+        per_host.append((rows, batches))
+    # lockstep: identical batch counts; equal shard lengths (ceil(11/3) = 4)
+    assert len({b for _, b in per_host}) == 1
+    assert all(len(r) == 4 for r, _ in per_host)
+    # reassembly = concat shards in host order, trim to the true length
+    flat = [x for r, _ in per_host for x in r]
+    np.testing.assert_array_equal(np.asarray(flat[:11]), np.arange(11, dtype=float))
+    # the wrap rows at the global tail duplicate the head (DistributedSampler pad)
+    np.testing.assert_array_equal(np.asarray(flat[11:]), [0.0])
+
+    # shuffled epochs agree across hosts (same seed => same global permutation)
+    orders = []
+    for hi in range(hc):
+        rows = []
+        for b in iter_epoch(ds, bs, shuffle=True, seed=7, host_index=hi, host_count=hc):
+            rows.extend(b.labels[: b.n_valid].tolist())
+        orders.append(rows)
+    union = sorted(set(int(x) for r in orders for x in r))
+    assert union == list(range(11))
+
+
+def test_train_eval_multihost_gather(monkeypatch):
+    """_run_eval on a simulated 2-process run: each 'host' scores its shard and the
+    gathered predictions equal the single-host pass (order + trim)."""
+    import pandas as pd
+
+    import mammodissect.train.experiments as ex
+    from jax.experimental import multihost_utils
+
+    class DS:
+        image_shape = (4, 4, 1)
+
+        def __len__(self):
+            return 7
+
+        def image(self, i):
+            return np.full((4, 4, 1), i, np.float32)
+
+        def label(self, i):
+            return float(i % 2)
+
+    class FakeTrainer:
+        def eval_batch(self, images, labels):
+            # prediction = the image's constant value (identity on row id)
+            return 0.0, images[:, 0, 0, 0]
+
+    ds = DS()
+    want_loss, want = ex._run_eval(FakeTrainer(), ds, 4, np.float32)
+    np.testing.assert_array_equal(want, np.arange(7, dtype=np.float32))
+
+    collected = {}
+    for hi in range(2):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda hi=hi: hi)
+        monkeypatch.setattr(multihost_utils, "process_allgather",
+                            lambda x, tiled=True, hi=hi: collected.setdefault(hi, np.asarray(x)))
+        ex._run_eval(FakeTrainer(), ds, 4, np.float32)
+    # per-host locals concat + trim == unsharded result
+    both = np.concatenate([collected[0], collected[1]])[: len(ds)]
+    np.testing.assert_array_equal(both, want)
