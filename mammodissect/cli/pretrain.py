@@ -42,10 +42,15 @@ def main(argv=None):
     from mammodissect.train.pretrain import PretrainConfig, pretrain
 
     args = build_parser().parse_args(argv)
-    prompt_json = None
-    if args.prompts_json:
-        with open(args.prompts_json) as f:
-            prompt_json = json.load(f)
+    if not args.prompts_json:
+        # FINDING-labeled CSVs (vindr) generate text via the canonical prompt
+        # templates, which the reference always supplies (`data_utils.py:119`,
+        # `data/dataset/prompts.json`) — default to the vendored copy
+        from mammodissect.assets import prompts_path
+
+        args.prompts_json = prompts_path()
+    with open(args.prompts_json) as f:
+        prompt_json = json.load(f)
     cfg = PretrainConfig(
         csv_file=args.csv_file, root=args.root, img_dir=args.img_dir,
         dataset=args.dataset, prompts_json=args.prompts_json,

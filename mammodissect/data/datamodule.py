@@ -67,12 +67,15 @@ class DataModule:
         name = name or next(iter(self.datasets))
         ds = self.datasets[name]["train"]
         bs = int(self.dataloader_config.get("batch_size", 8))
+        env = GlobalEnv.get()
+        hi, hc = (env.world_rank, env.world_size) if distributed else (0, 1)
         if hasattr(ds, "batches"):  # imagetext contrastive batching
             return ds.batches(self.tokenizer, bs,
-                              max_length=int(self.dataloader_config.get("text_max_length", 256)))
+                              max_length=int(self.dataloader_config.get("text_max_length", 256)),
+                              host_index=hi, host_count=hc)
         from mammodissect.train.data import iter_epoch
 
-        return iter_epoch(ds, bs, shuffle=True)
+        return iter_epoch(ds, bs, shuffle=True, host_index=hi, host_count=hc)
 
     def valid_dataloader(self) -> Dict[str, Iterator]:
         from mammodissect.train.data import iter_epoch

@@ -124,16 +124,25 @@ class ImageTextDataset:
         raise AttributeError("DataFrame has neither REPORT nor *_FINDING columns")
 
     def batches(self, tokenizer, batch_size: int, max_length: int = 256,
-                shuffle: bool = True, seed: int = 0, drop_last: bool = True):
+                shuffle: bool = True, seed: int = 0, drop_last: bool = True,
+                host_index: int = 0, host_count: int = 1):
         """Collated contrastive batches (`imagetext.py:217-237` collate_fn):
         {'images', 'image_views', 'input_ids', 'attention_mask', 'input_ids2',
-        'attention_mask2'} — static shapes, NHWC."""
+        'attention_mask2'} — static shapes, NHWC.
+
+        Multi-host: `batch_size` is the GLOBAL contrastive batch; every host walks
+        the same seeded order and materializes only its batch_size/host_count slice
+        of each batch (lockstep with `global_batch_from_local`; the in-batch
+        arange labels come from the assembled global batch)."""
         n = len(self)
         order = (np.random.default_rng(seed).permutation(n) if shuffle else np.arange(n))
         for start in range(0, n - (batch_size - 1 if drop_last else 0), batch_size):
             idx = order[start : start + batch_size]
             if len(idx) < batch_size and drop_last:
                 return
+            if host_count > 1:
+                lbs = max(batch_size // host_count, 1)
+                idx = idx[host_index * lbs : (host_index + 1) * lbs]
             items = [self[int(i)] for i in idx]
             batch = {
                 "images": np.stack([it["image"] for it in items]),

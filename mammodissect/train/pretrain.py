@@ -103,12 +103,25 @@ def pretrain(cfg: PretrainConfig, dataset, log=print) -> Dict:
     key = jax.random.PRNGKey(cfg.seed)
     losses = AverageMeter()
     step = 0
+    hi, hc = jax.process_index(), jax.process_count()
+
+    def to_device(host_batch):
+        """Single-process: pjit shards the full batch. Multi-host: each process
+        contributes its local slice of the global contrastive batch (in-batch
+        arange labels and the i2i/t2t terms see the GLOBAL batch)."""
+        if hc == 1:
+            return shard_batch(mesh, host_batch)
+        from mammodissect.parallel.multihost import global_batch_from_local
+
+        return global_batch_from_local(mesh, host_batch)
+
     with mesh:
         for epoch in range(cfg.epochs):
             for batch in dataset.batches(tok, cfg.batch_size,
                                          max_length=cfg.text_max_length,
-                                         seed=cfg.seed + epoch):
-                device_batch = shard_batch(mesh, {
+                                         seed=cfg.seed + epoch,
+                                         host_index=hi, host_count=hc):
+                device_batch = to_device({
                     k: jnp.asarray(v) for k, v in batch.items()
                     if k not in ("texts", "texts2")
                 })
@@ -121,11 +134,13 @@ def pretrain(cfg: PretrainConfig, dataset, log=print) -> Dict:
                     losses.update(lv)
                     tb.add_scalar("pretrain/loss", lv, step)
                     log(f"epoch {epoch} step {step}/{total_steps} loss {lv:.4f}")
-                if step % cfg.ckpt_freq_steps == 0:
+                if step % cfg.ckpt_freq_steps == 0 and hi == 0:  # rank-0 save
                     save_checkpoint(
                         os.path.join(cfg.checkpoints, f"step_{step}"),
                         TrainerState(params, stats, opt_state, step), epoch, {})
     final = os.path.join(cfg.checkpoints, "final")
-    save_checkpoint(final, TrainerState(params, stats, opt_state, step), cfg.epochs, {})
+    if hi == 0:
+        save_checkpoint(final, TrainerState(params, stats, opt_state, step),
+                        cfg.epochs, {})
     tb.close()
     return {"steps": step, "final_checkpoint": final, "last_loss": float(loss)}

@@ -94,3 +94,42 @@ def test_pretrain_loop_e2e(multiview_data, tmp_path):
     assert np.isfinite(result["last_loss"])
     assert os.path.isdir(result["final_checkpoint"])
     assert result["steps"] == 2  # 10//8=1 step/epoch x 2 epochs
+
+
+def test_collated_batches_host_sharding(multiview_data):
+    """Multi-host contrastive batching: batch_size is GLOBAL; each host's slices of
+    every seeded batch are disjoint, lockstep, and together cover exactly the
+    unsharded batch's rows (index-level contract — item materialization itself is
+    stochastic through the augmentation RNG, as with DataLoader workers)."""
+    from mammodissect.models.tokenizers import WordPieceTokenizer
+
+    df, root = multiview_data
+    tok = WordPieceTokenizer.toy(words=["mass", "right", "left", "no", "clear"])
+
+    def record(host_index, host_count):
+        ds = ImageTextDataset(df, root=root, size_hw=(32, 24), prompt_json=PROMPTS)
+        seen, batch_marks = [], []
+        orig = type(ds).__getitem__
+
+        class Rec(type(ds)):
+            def __getitem__(self, i):
+                seen.append(int(i))
+                return orig(self, i)
+
+        ds.__class__ = Rec
+        for _ in ds.batches(tok, batch_size=4, max_length=16, seed=5,
+                            host_index=host_index, host_count=host_count):
+            batch_marks.append(len(seen))
+        return seen, batch_marks
+
+    full, marks_full = record(0, 1)
+    s0, marks0 = record(0, 2)
+    s1, marks1 = record(1, 2)
+    assert len(marks0) == len(marks1) == len(marks_full)  # lockstep batch counts
+    prev = 0
+    for k, mark in enumerate(marks_full):
+        want = full[prev:mark]
+        got0 = s0[k * 2 : k * 2 + 2]
+        got1 = s1[k * 2 : k * 2 + 2]
+        assert got0 + got1 == want  # per-batch host slices partition the global batch
+        prev = mark
