@@ -63,12 +63,20 @@ class DataModule:
         idx = np.arange(n)
         return idx[env.world_rank::env.world_size] if env.world_size > 1 else idx
 
+    def _host_rank(self, distributed: bool):
+        """(host_index, host_count); only touches GlobalEnv (and thus the JAX
+        backend) when distributed=True — single-host dataloaders must be buildable
+        before jax.distributed.initialize."""
+        if not distributed:
+            return 0, 1
+        env = GlobalEnv.get()
+        return env.world_rank, env.world_size
+
     def train_dataloader(self, name: Optional[str] = None, distributed: bool = False):
         name = name or next(iter(self.datasets))
         ds = self.datasets[name]["train"]
         bs = int(self.dataloader_config.get("batch_size", 8))
-        env = GlobalEnv.get()
-        hi, hc = (env.world_rank, env.world_size) if distributed else (0, 1)
+        hi, hc = self._host_rank(distributed)
         if hasattr(ds, "batches"):  # imagetext contrastive batching
             return ds.batches(self.tokenizer, bs,
                               max_length=int(self.dataloader_config.get("text_max_length", 256)),
@@ -77,15 +85,18 @@ class DataModule:
 
         return iter_epoch(ds, bs, shuffle=True, host_index=hi, host_count=hc)
 
-    def valid_dataloader(self) -> Dict[str, Iterator]:
+    def valid_dataloader(self, distributed: bool = False) -> Dict[str, Iterator]:
         from mammodissect.train.data import iter_epoch
 
         out = {}
         bs = int(self.dataloader_config.get("batch_size", 8))
+        hi, hc = self._host_rank(distributed)
         for name, pair in self.datasets.items():
             ds = pair["valid"]
             if hasattr(ds, "batches"):
-                out[name] = ds.batches(self.tokenizer, bs, shuffle=False, drop_last=False)
+                out[name] = ds.batches(self.tokenizer, bs, shuffle=False,
+                                       drop_last=False, host_index=hi, host_count=hc)
             else:
-                out[name] = iter_epoch(ds, bs, shuffle=False)
+                out[name] = iter_epoch(ds, bs, shuffle=False,
+                                       host_index=hi, host_count=hc)
         return out

@@ -141,7 +141,15 @@ class ImageTextDataset:
             if len(idx) < batch_size and drop_last:
                 return
             if host_count > 1:
-                lbs = max(batch_size // host_count, 1)
+                if batch_size % host_count:
+                    raise ValueError(
+                        f"global batch_size {batch_size} must divide evenly over "
+                        f"{host_count} hosts (contrastive batches assemble via "
+                        "make_array_from_process_local_data, which needs equal "
+                        "per-host slices)")
+                if len(idx) < batch_size:  # drop_last=False tail: wrap-pad so
+                    idx = np.resize(idx, batch_size)  # every host stays lockstep
+                lbs = batch_size // host_count
                 idx = idx[host_index * lbs : (host_index + 1) * lbs]
             items = [self[int(i)] for i in idx]
             batch = {

@@ -223,8 +223,11 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
 
     hi, hc = jax.process_index(), jax.process_count()
     # per-host steps (multi-host shards the epoch; the scheduler sees local steps,
-    # matching the reference's per-rank DistributedSampler epoch length)
-    steps_per_epoch = max(-(-len(train_ds) // hc) // cfg.batch_size, 1)
+    # matching the reference's per-rank DistributedSampler epoch length). Ceil on
+    # the batch division too: iter_epoch yields the padded tail batch, and an
+    # undercounted total would park the cosine tail at the terminal LR.
+    shard_len = -(-len(train_ds) // hc)
+    steps_per_epoch = max(-(-shard_len // cfg.batch_size), 1)
     # warmup_steps logic (`experiments.py:144-150`)
     if cfg.warmup_epochs == 0.1:
         warmup_steps = cfg.epochs
@@ -310,9 +313,12 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
         watch = metrics.get("accuracy", metrics.get("auroc", 0.0))
         if not np.isnan(watch) and watch > best_metric:
             best_metric = watch
-            if hi == 0:  # rank-0-only save (`experiments.py:232,258`); params are
-                # replicated so process 0 holds the full state
-                save_checkpoint(ckpt_path, trainer.state, epoch, metrics, predictions)
+            # every host reaches the same decision (predictions are allgathered
+            # identically) and ALL must call save: orbax's save is a collective
+            # with internal sync_global_processes barriers — rank-0-only gating
+            # would deadlock a multi-host run. Orbax itself elects the writer
+            # (the reference's rank-0 torch.save, `experiments.py:232,258`).
+            save_checkpoint(ckpt_path, trainer.state, epoch, metrics, predictions)
             log(f"epoch {epoch + 1}: new best {watch:.4f} -> {ckpt_path}")
         log(f"epoch {epoch + 1}: train {losses.avg:.4f} valid {val_loss:.4f} "
             f"{metrics} {train_metrics}")

@@ -47,12 +47,15 @@ class WandbLogger:
 
     def __init__(self, project: Optional[str] = None, name: Optional[str] = None,
                  config: Optional[dict] = None, enabled: bool = False):
+        self._run = None
+        if not enabled or project is None:
+            return  # no jax import on the disabled path: a no-op logger must not
+            # initialize the backend as a side effect
         import jax
 
-        self._run = None
         # master-only, like every reference wandb.init site (rank-0 gating,
         # `Classifiers/experiments.py:278,306`)
-        if not enabled or project is None or jax.process_index() != 0:
+        if jax.process_index() != 0:
             return
         try:
             import wandb

@@ -134,13 +134,15 @@ def pretrain(cfg: PretrainConfig, dataset, log=print) -> Dict:
                     losses.update(lv)
                     tb.add_scalar("pretrain/loss", lv, step)
                     log(f"epoch {epoch} step {step}/{total_steps} loss {lv:.4f}")
-                if step % cfg.ckpt_freq_steps == 0 and hi == 0:  # rank-0 save
+                if step % cfg.ckpt_freq_steps == 0:
+                    # collective: orbax save has internal all-host barriers, so
+                    # EVERY process calls it (orbax elects the writer); a rank-0
+                    # gate would deadlock the pod at the first checkpoint
                     save_checkpoint(
                         os.path.join(cfg.checkpoints, f"step_{step}"),
                         TrainerState(params, stats, opt_state, step), epoch, {})
     final = os.path.join(cfg.checkpoints, "final")
-    if hi == 0:
-        save_checkpoint(final, TrainerState(params, stats, opt_state, step),
-                        cfg.epochs, {})
+    save_checkpoint(final, TrainerState(params, stats, opt_state, step),
+                    cfg.epochs, {})
     tb.close()
     return {"steps": step, "final_checkpoint": final, "last_loss": float(loss)}

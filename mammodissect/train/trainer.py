@@ -162,9 +162,16 @@ class Trainer:
         allgathers at epoch end, `experiments.py:554-564`)."""
         if jax.process_count() == 1:
             return np.asarray(preds)
-        shards = sorted(preds.addressable_shards,
-                        key=lambda s: s.index[0].start or 0)
-        return np.concatenate([np.asarray(s.data) for s in shards], axis=0)
+        # dedup by row range: under model parallelism each data-shard is
+        # replicated across the 'model' axis, so multiple addressable shards
+        # carry the SAME rows — keep one per distinct start
+        by_start = {}
+        for s in preds.addressable_shards:
+            start = s.index[0].start or 0
+            if start not in by_start:
+                by_start[start] = s.data
+        return np.concatenate(
+            [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0)
 
     def train_batch(self, images: np.ndarray, labels: np.ndarray) -> float:
         self._key, sub = jax.random.split(self._key)

@@ -286,3 +286,21 @@ def test_train_eval_multihost_gather(monkeypatch):
     # per-host locals concat + trim == unsharded result
     both = np.concatenate([collected[0], collected[1]])[: len(ds)]
     np.testing.assert_array_equal(both, want)
+
+
+def test_local_rows_dedups_model_axis_replicas(monkeypatch):
+    """Regression: under model parallelism each data shard is replicated across the
+    'model' axis; _local_rows must keep one copy per row range, not concatenate
+    every addressable replica."""
+    import jax.numpy as jnp
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from mammodissect.train.trainer import Trainer
+
+    mesh = make_mesh(model_parallel=2)  # 8 CPU devices -> data=4, model=2
+    x = jax.device_put(jnp.arange(8, dtype=jnp.float32),
+                       NamedSharding(mesh, P("data")))
+    assert len(x.addressable_shards) == 8  # 4 row-ranges x 2 model replicas
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    rows = Trainer._local_rows(x)
+    np.testing.assert_array_equal(rows, np.arange(8, dtype=np.float32))
