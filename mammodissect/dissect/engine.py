@@ -783,7 +783,8 @@ def get_similarity_from_activations(
 
         from mammodissect.ops.pallas_wpmi import pallas_fits
 
-        if jax.default_backend() == "tpu" and pallas_fits(target_feats.shape[0]):
+        if jax.default_backend() == "tpu" and pallas_fits(
+                target_feats.shape[0], target_feats.shape[1], kwargs["top_k"]):
             kwargs["use_pallas"] = True
     # NOTE: unit-count bucketing (pad U to few sizes to cut per-width recompiles) is
     # deliberately NOT done: soft_wpmi's log p(d) is a logsumexp over units, so padded
@@ -834,7 +835,8 @@ def score_all_layers(
 
         from mammodissect.ops.pallas_wpmi import pallas_fits
 
-        if jax.default_backend() == "tpu" and pallas_fits(target_cat.shape[0]):
+        if jax.default_backend() == "tpu" and pallas_fits(
+                target_cat.shape[0], target_cat.shape[1], kwargs["top_k"]):
             kwargs["use_pallas"] = True
     if similarity_name in SEGMENTED_FNS:
         segment_ids = np.repeat(np.arange(len(layers), dtype=np.int32), widths)

@@ -58,7 +58,9 @@ def auroc(gt, pred) -> float:
 
 
 def precision_recall_curve(gt, pred):
-    """(precision, recall, thresholds) with thresholds in decreasing score order."""
+    """(precision, recall, thresholds) with thresholds in INCREASING score order
+    (sklearn's convention; precision/recall are aligned to it, with the (P=1, R=0)
+    anchor appended last)."""
     gt, pred = _as_1d(gt, pred)
     order = np.argsort(-pred, kind="mergesort")
     gt_s = gt[order] > 0.5
@@ -84,7 +86,8 @@ def pr_auc(gt, pred) -> float:
     # recall is decreasing in our ordering (reversed); integrate with sorted x
     r = recall[::-1]
     p = precision[::-1]
-    return float(np.trapezoid(p, r))
+    trapezoid = getattr(np, "trapezoid", None) or np.trapz  # numpy<2 fallback
+    return float(trapezoid(p, r))
 
 
 def compute_auprc(gt, pred) -> float:
@@ -157,11 +160,14 @@ def optimal_roc_threshold(gt, pred) -> float:
     order = np.argsort(-pred, kind="mergesort")
     gt_s = gt[order] > 0.5
     pred_s = pred[order]
-    tp = np.cumsum(gt_s)
-    fp = np.cumsum(~gt_s)
+    # evaluate Youden J only at DISTINCT thresholds: `pred >= th` cannot stop
+    # inside a tie group, so mid-tie cumulative positions are unreachable
+    # operating points and argmax over them can pick a threshold whose
+    # achievable J is suboptimal
+    distinct = np.flatnonzero(np.r_[pred_s[1:] != pred_s[:-1], True])
+    tp = np.cumsum(gt_s)[distinct]
+    fp = (distinct + 1) - tp
     n_pos = max(int(gt_s.sum()), 1)
     n_neg = max(len(gt_s) - int(gt_s.sum()), 1)
-    tpr = tp / n_pos
-    fpr = fp / n_neg
-    j = tpr - fpr
-    return float(pred_s[int(np.argmax(j))])
+    j = tp / n_pos - fp / n_neg
+    return float(pred_s[distinct][int(np.argmax(j))])

@@ -20,12 +20,15 @@ import functools
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 C_TILE = 128
 U_TILE = 8
 # staged column block must fit VMEM (~16 MB/core) alongside out/index buffers
 VMEM_BUDGET_BYTES = 10 * 1024 * 1024
+# the flattened index buffer ([U_pad * k] int32) rides as scalar prefetch (SMEM);
+# bound it to the per-layer widths the kernel was measured on — the all-layer
+# concatenation (U_total ~7k x k=100 ~ 2.8 MB) must fall back to the XLA path
+SMEM_BUDGET_BYTES = 512 * 1024
 
 
 def _kernel(inds_ref, p_ref, clip_ref, out_ref, *, k: int, u_tile: int, min_prob: float):
@@ -84,5 +87,11 @@ def soft_wpmi_gather_logsum(clip_sm, inds, p_in, min_prob: float = 1e-7,
     return out[:u, :c]
 
 
-def pallas_fits(n_images: int) -> bool:
-    return n_images * C_TILE * 4 <= VMEM_BUDGET_BYTES
+def pallas_fits(n_images: int, n_units: int | None = None, top_k: int = 100) -> bool:
+    if n_images * C_TILE * 4 > VMEM_BUDGET_BYTES:
+        return False
+    if n_units is not None:
+        u_pad = -(-n_units // U_TILE) * U_TILE
+        if u_pad * min(top_k, n_images) * 4 > SMEM_BUDGET_BYTES:
+            return False
+    return True

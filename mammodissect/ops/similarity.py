@@ -152,20 +152,28 @@ def wpmi_segmented(
     """wpmi over many layers in one program (see soft_wpmi_segmented)."""
     clip_feats = _f32(clip_feats)
     target_feats = _f32(target_feats)
-    k = min(top_k, target_feats.shape[0])
-    clip_sm = jax.nn.softmax(a * clip_feats, axis=1)
-    _, inds = lax.top_k(target_feats.T, k)
-
-    def unit_fn(ind_row):
-        rows = clip_sm[ind_row]
-        return jnp.sum(jnp.log(rows + min_prob), axis=0)
-
-    prob_d_given_e = lax.map(unit_fn, inds, batch_size=unit_batch)
+    prob_d_given_e = _wpmi_pde(clip_feats, target_feats, top_k, a, min_prob,
+                               unit_batch)
     prob_d = _segment_logsumexp_mean(prob_d_given_e, segment_ids, num_segments)
     return prob_d_given_e - lam * prob_d
 
 
 # -------------------------------------------------------------------------------- wpmi
+def _wpmi_pde(clip_feats, target_feats, top_k, a, min_prob, unit_batch):
+    """Shared p(d|e) body for wpmi / wpmi_segmented (hard top-k log-prob sum) —
+    one implementation so the per-layer and segmented entry points cannot
+    diverge."""
+    k = min(top_k, target_feats.shape[0])
+    clip_sm = jax.nn.softmax(a * clip_feats, axis=1)
+    _, inds = lax.top_k(target_feats.T, k)  # [U, k]
+
+    def unit_fn(ind_row):
+        rows = clip_sm[ind_row]  # [k, C]
+        return jnp.sum(jnp.log(rows + min_prob), axis=0)
+
+    return lax.map(unit_fn, inds, batch_size=unit_batch)  # [U, C]
+
+
 @partial(jax.jit, static_argnames=("top_k", "unit_batch"))
 def wpmi(
     clip_feats,
@@ -179,16 +187,8 @@ def wpmi(
     """Hard-top-k WPMI (reference `similarity.py:75-97`)."""
     clip_feats = _f32(clip_feats)
     target_feats = _f32(target_feats)
-    k = min(top_k, target_feats.shape[0])
-
-    clip_sm = jax.nn.softmax(a * clip_feats, axis=1)
-    _, inds = lax.top_k(target_feats.T, k)  # [U, k]
-
-    def unit_fn(ind_row):
-        rows = clip_sm[ind_row]  # [k, C]
-        return jnp.sum(jnp.log(rows + min_prob), axis=0)
-
-    prob_d_given_e = lax.map(unit_fn, inds, batch_size=unit_batch)  # [U, C]
+    prob_d_given_e = _wpmi_pde(clip_feats, target_feats, top_k, a, min_prob,
+                               unit_batch)
     prob_d = jax.nn.logsumexp(prob_d_given_e, axis=0, keepdims=True) - jnp.log(
         jnp.float32(prob_d_given_e.shape[0])
     )

@@ -19,8 +19,14 @@ import jax
 
 def initialize(coordinator_address: Optional[str] = None, num_processes: Optional[int] = None,
                process_id: Optional[int] = None):
-    """Multi-process JAX runtime init (no-op when single-process)."""
-    if num_processes in (None, 1):
+    """Multi-process JAX runtime init.
+
+    num_processes=1 is an explicit no-op. With num_processes=None the call is
+    forwarded to `jax.distributed.initialize()`, whose env auto-detection (SLURM,
+    TPU pod metadata) fills in the topology — silently skipping that case would
+    leave every pod host believing it is the whole world (process_count()==1),
+    which trains on one shard and reports wrong metrics with no error."""
+    if num_processes == 1:
         return
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes, process_id=process_id)

@@ -31,8 +31,14 @@ def zero_shot_scores(
 
     out: Dict[str, np.ndarray] = {}
     for task, pn in prompts.items():
-        pos = dissector.embed_texts(list(pn["pos"])).mean(axis=0)
-        neg = dissector.embed_texts(list(pn["neg"])).mean(axis=0)
+        # standard CLIP prompt ensembling: re-normalize each mean — its raw norm
+        # shrinks with intra-set prompt diversity, which would scale the pos/neg
+        # logits asymmetrically and bias the score by phrasing diversity
+        def _mean_emb(texts):
+            m = dissector.embed_texts(list(texts)).mean(axis=0)
+            return m / max(float(np.linalg.norm(m)), 1e-12)
+
+        pos, neg = _mean_emb(pn["pos"]), _mean_emb(pn["neg"])
         logits = np.stack([image_embs @ pos, image_embs @ neg], axis=1) / temperature
         e = np.exp(logits - logits.max(axis=1, keepdims=True))
         out[task] = (e[:, 0] / e.sum(axis=1)).astype(np.float32)

@@ -15,7 +15,8 @@ def retrieval_metrics(image_embs: np.ndarray, text_embs: np.ndarray,
     out: Dict[str, float] = {}
     for name, s in (("i2t", sims), ("t2i", sims.T)):
         order = np.argsort(-s, axis=1)
-        ranks = np.array([int(np.where(order[i] == i)[0][0]) for i in range(n)])
+        # rank of the true pair = column where order[i] == i, vectorized
+        ranks = np.nonzero(order == np.arange(n)[:, None])[1]
         for k in ks:
             out[f"{name}_recall@{k}"] = float((ranks < k).mean())
         out[f"{name}_median_rank"] = float(np.median(ranks) + 1)

@@ -75,3 +75,24 @@ def test_optimal_roc_threshold():
     pred = np.array([0.1, 0.2, 0.3, 0.7, 0.8, 0.9])
     th = M.optimal_roc_threshold(gt, pred)
     assert 0.3 < th <= 0.7
+
+
+def test_optimal_roc_threshold_with_ties():
+    """Regression: Youden-J must be evaluated at DISTINCT thresholds only —
+    pred >= th cannot stop inside a tie group, and the mid-tie cumulative
+    positions previously inflated J at unreachable operating points."""
+    from mammodissect.metrics import optimal_roc_threshold
+
+    gt = np.array([1, 0, 0, 1, 0])
+    pred = np.array([0.5, 0.5, 0.5, 0.4, 0.3])
+    th = optimal_roc_threshold(gt, pred)
+    assert th == 0.4  # J(0.4)=+1/3 beats J(0.5)=-1/6 and J(0.3)=0
+
+
+def test_pallas_fits_bounds_units():
+    from mammodissect.ops.pallas_wpmi import pallas_fits
+
+    assert pallas_fits(2000)                       # image bound only
+    assert pallas_fits(2000, 512, 100)             # per-layer width: enabled
+    assert not pallas_fits(2000, 6992, 100)        # all-layer concat: SMEM-bound
+    assert not pallas_fits(100_000)                # VMEM-bound
