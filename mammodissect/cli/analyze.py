@@ -111,7 +111,7 @@ def main(argv=None) -> int:
 
         if args.domain_concepts:
             with open(args.domain_concepts) as f:
-                domain = [w for w in f.read().split("\n") if w.strip()]
+                domain = [w.strip() for w in f.read().split("\n") if w.strip()]
         elif broad_map is not None:
             domain = [c for c, b in broad_map.items()
                       if b != "Environmental_and_Natural"]

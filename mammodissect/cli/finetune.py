@@ -43,7 +43,7 @@ def build_parser():
     p.add_argument("--warmup-epochs", dest="warmup_epochs", type=float, default=1)
     p.add_argument("--img-size", dest="img_size", type=int, nargs=2, default=[1520, 912])
     p.add_argument("--mean", type=float, default=0.3089279)
-    p.add_argument("--std", type=float, default=0.25053355)
+    p.add_argument("--std", type=float, default=0.25053555)
     p.add_argument("--seed", type=int, default=10)
     p.add_argument("--n-folds", dest="n_folds", type=int, default=1)
     p.add_argument("--weighted-BCE", dest="weighted_BCE", default="n", choices=["y", "n"])

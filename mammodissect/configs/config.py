@@ -30,13 +30,21 @@ def _load_file(path: str) -> Dict[str, Any]:
 
 
 def _coerce(value: str, field_type) -> Any:
-    """Parse a CLI override string to the field's type."""
-    if field_type in (int,):
+    """Parse a CLI override string to the field's type. field_type may be a type
+    OR a string annotation — config dataclasses live in modules with
+    `from __future__ import annotations`, so dataclasses.fields reports types as
+    strings ('bool', 'Optional[float]', ...)."""
+    if isinstance(field_type, str):
+        t = field_type.replace("Optional[", "").rstrip("]").strip()
+        field_type = {"int": int, "float": float, "bool": bool, "str": str}.get(t)
+    if field_type is int:
         return int(value)
-    if field_type in (float,):
+    if field_type is float:
         return float(value)
-    if field_type in (bool,):
+    if field_type is bool:
         return value.lower() in ("1", "true", "y", "yes")
+    if field_type is str:
+        return value
     try:
         return json.loads(value)
     except (json.JSONDecodeError, ValueError):
@@ -59,7 +67,7 @@ def apply_overrides(data: Dict[str, Any], overrides: Sequence[str],
         for p in parts[:-1]:
             node = node.setdefault(p, {})
         ftype = types.get(parts[0]) if len(parts) == 1 else None
-        node[parts[-1]] = _coerce(value, ftype if isinstance(ftype, type) else None)
+        node[parts[-1]] = _coerce(value, ftype)
     return out
 
 

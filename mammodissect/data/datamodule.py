@@ -46,11 +46,19 @@ class DataModule:
             else:
                 cut = int(len(df) * 0.9)
                 train_df, valid_df = df.iloc[:cut], df.iloc[cut:]
+            def _mk(df_, is_train, data_type=data_type, cfg=cfg):
+                kw = dict(cfg)
+                if self._takes_split(data_type):
+                    kw["split"] = "train" if is_train else "valid"
+                elif data_type == "image_classification":
+                    # augmentation on the train split ONLY (the reference's
+                    # per-split transforms, `data/data_utils.py:25-67`)
+                    kw.setdefault("train", is_train)
+                return load_dataset(data_type, df=df_, **kw)
+
             self.datasets[name] = {
-                "train": load_dataset(data_type, df=train_df, **dict(cfg, split="train"))
-                if self._takes_split(data_type) else load_dataset(data_type, df=train_df, **cfg),
-                "valid": load_dataset(data_type, df=valid_df, **dict(cfg, split="valid"))
-                if self._takes_split(data_type) else load_dataset(data_type, df=valid_df, **cfg),
+                "train": _mk(train_df, True),
+                "valid": _mk(valid_df, False),
             }
 
     @staticmethod
@@ -72,7 +80,11 @@ class DataModule:
         env = GlobalEnv.get()
         return env.world_rank, env.world_size
 
-    def train_dataloader(self, name: Optional[str] = None, distributed: bool = False):
+    def train_dataloader(self, name: Optional[str] = None, distributed: bool = False,
+                         epoch: int = 0, seed: int = 0):
+        """Pass `epoch` each epoch for a fresh shuffle (the reference's
+        `DistributedSampler.set_epoch`); a fixed default would replay the same
+        permutation every epoch."""
         name = name or next(iter(self.datasets))
         ds = self.datasets[name]["train"]
         bs = int(self.dataloader_config.get("batch_size", 8))
@@ -80,10 +92,11 @@ class DataModule:
         if hasattr(ds, "batches"):  # imagetext contrastive batching
             return ds.batches(self.tokenizer, bs,
                               max_length=int(self.dataloader_config.get("text_max_length", 256)),
-                              host_index=hi, host_count=hc)
+                              seed=seed + epoch, host_index=hi, host_count=hc)
         from mammodissect.train.data import iter_epoch
 
-        return iter_epoch(ds, bs, shuffle=True, host_index=hi, host_count=hc)
+        return iter_epoch(ds, bs, shuffle=True, seed=seed + epoch,
+                          host_index=hi, host_count=hc)
 
     def valid_dataloader(self, distributed: bool = False) -> Dict[str, Iterator]:
         from mammodissect.train.data import iter_epoch

@@ -84,8 +84,11 @@ class ImageTextDataset:
         # ---- view selection (`imagetext.py:73-108`): sample 2 views when available
         views = _aslist(row["view"]) if "view" in row else ["image"]
         if len(views) >= 2:
-            pick = self._rng.choice(len(views), size=2, replace=False)
-            views = [views[i] for i in pick]
+            if train:
+                pick = self._rng.choice(len(views), size=2, replace=False)
+                views = [views[i] for i in pick]
+            else:  # eval is deterministic: first two views, like the path pick below
+                views = views[:2]
         paths = []
         for v in views:
             cands = _aslist(row[v]) if v in row else _aslist(row.get("image"))
@@ -174,8 +177,10 @@ def _aslist_nested(cell):
     if len(v) == 4 and all(isinstance(x, (list, tuple)) for x in v):
         return v
     if isinstance(cell, str):
-        parsed = ast.literal_eval(cell)
-        return parsed
+        try:  # plain-string cells (e.g. a bare finding word) are not literals
+            return ast.literal_eval(cell)
+        except (ValueError, SyntaxError):
+            return v
     return v
 
 
@@ -339,7 +344,12 @@ def load_dataset(data_type: str, **kw):
     if data_type == "image_classification_zs":
         from mammodissect.data.probes import CsvProbe
 
-        raise_if = {k: v for k, v in kw.items() if k not in (
-            "csv_file", "image_col", "root", "label_col", "size_hw", "mean", "std")}
-        return CsvProbe(**{k: v for k, v in kw.items() if k not in raise_if})
+        allowed = ("csv_file", "df", "image_col", "root", "label_col", "split_col",
+                   "split", "size_hw", "mean", "std", "filters")
+        unknown = sorted(k for k in kw if k not in allowed)
+        if unknown:
+            raise TypeError(
+                f"image_classification_zs got unsupported kwargs {unknown}; "
+                f"accepted: {sorted(allowed)}")
+        return CsvProbe(**kw)
     raise KeyError(f"unknown data_type {data_type!r}")

@@ -186,7 +186,7 @@ class CsvProbe(Probe):
 
     def __init__(
         self,
-        csv_file: str,
+        csv_file: Optional[str] = None,
         image_col: str = "image_path",
         root: str = "",
         label_col: Optional[str] = None,
@@ -196,13 +196,20 @@ class CsvProbe(Probe):
         mean: float = T.VINDR_MEAN,
         std: float = T.VINDR_STD,
         filters: Optional[dict] = None,
+        df=None,
     ):
         """`filters`: {column: value} row selection — how the reference's EMBED probe
         family (embed_marker_84 / embed_implant / embed_non_implant...) selects its
-        subsets from the metadata CSV (`concept_vit/data_utils.py:169-251`)."""
+        subsets from the metadata CSV (`concept_vit/data_utils.py:169-251`).
+        Pass either `csv_file` or a pre-read `df` (the DataModule path)."""
         import pandas as pd
 
-        df = pd.read_csv(csv_file)
+        if df is None:
+            if csv_file is None:
+                raise TypeError("CsvProbe needs csv_file= or df=")
+            df = pd.read_csv(csv_file)
+        else:
+            df = df.reset_index(drop=True)
         for col, val in (filters or {}).items():
             df = df[df[col] == val].reset_index(drop=True)
         if split_col and split is not None and split_col in df.columns:

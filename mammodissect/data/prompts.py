@@ -43,8 +43,9 @@ def generate_report_from_labels(
     add(neg_left, "neg_left")
 
     # dedupe preserving deterministic order (the reference's `list(set(...))` has
-    # unstable order; we sort for the deterministic path and shuffle otherwise)
-    report = sorted(set(report)) if deterministic else list(set(report))
+    # unstable order; we sort for the deterministic path and use insertion order —
+    # stable across PYTHONHASHSEED/processes — before the seeded shuffle otherwise)
+    report = sorted(set(report)) if deterministic else list(dict.fromkeys(report))
     if not deterministic:
         rng.shuffle(report)
     return " ".join(report)

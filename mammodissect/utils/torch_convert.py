@@ -184,6 +184,9 @@ def merge_into(variables: Dict, updates: Dict, path=()) -> tuple:
                 mismatches.append(("missing", "/".join(p + (k,))))
                 continue
             if isinstance(v, dict):
+                if not isinstance(dst[k], dict):
+                    mismatches.append(("structure", "/".join(p + (k,)) + " dict vs leaf"))
+                    continue
                 out[k] = rec(dst[k], v, p + (k,))
             else:
                 tgt = np.asarray(dst[k])

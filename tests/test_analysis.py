@@ -178,7 +178,13 @@ def test_analyze_cli_end_to_end(tmp_path):
     make_csv(a, 0)
     make_csv(b, 2)
     out = tmp_path / "out"
-    rc = main(["--csv", str(a), "--csv_b", str(b), "--out_dir", str(out), "--figures"])
+    # domain file with messy whitespace (trailing \r, padded lines, blanks) —
+    # regression: entries were filtered on .strip() but stored UNstripped, so
+    # none ever matched a Top_concept
+    domain_file = tmp_path / "domain.txt"
+    domain_file.write_text("mass\r\n  calcification  \n\nbreast\n")
+    rc = main(["--csv", str(a), "--csv_b", str(b), "--out_dir", str(out),
+               "--figures", "--domain_concepts", str(domain_file)])
     assert rc == 0
 
     pa = pd.read_csv(out / "M_desc_processed.csv")

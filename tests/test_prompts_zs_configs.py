@@ -39,6 +39,33 @@ class TestPrompts:
                                             rng=r) for r in rngs]
         assert outs[0] == outs[1]
 
+    def test_random_dedupe_is_insertion_ordered(self):
+        """Regression: the non-deterministic dedupe used list(set(...)), whose
+        order depends on string-hash randomization — reports differed across
+        processes despite the seeded Generator. With a no-op shuffle the output
+        must follow pos_right, pos_left, neg_* insertion order exactly."""
+
+        class _NoShuffle:
+            def integers(self, n):
+                return 0
+
+            def shuffle(self, x):
+                pass
+
+        r = generate_report_from_labels(
+            [["Mass"], ["Mass"], [], ["Mass"]], PROMPT_JSON,
+            deterministic=False, rng=_NoShuffle())
+        assert r == "mass in right breast mass in left breast no mass left"
+
+    def test_aslist_nested_plain_string_cell(self):
+        """Regression: a FINDING cell holding a bare word (not a list literal)
+        crashed ast.literal_eval."""
+        from mammodissect.data.imagetext import _aslist_nested
+
+        assert _aslist_nested("mass") == ["mass"]
+        assert _aslist_nested("[['a'], ['b'], ['c'], ['d']]") == [
+            ["a"], ["b"], ["c"], ["d"]]
+
 
 class TestZeroShot:
     def test_planted_signal_auroc(self):

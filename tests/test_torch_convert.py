@@ -108,6 +108,18 @@ def test_bert_conversion_numerical():
     np.testing.assert_allclose(got, want, atol=2e-5)
 
 
+def test_merge_into_structure_mismatch_recorded():
+    """Regression: a dict in `updates` where `variables` holds a leaf array
+    crashed with TypeError instead of recording a mismatch (strict=False)."""
+    from mammodissect.utils.torch_convert import merge_into
+
+    v = {"params": {"w": np.zeros((2, 2), np.float32)}}
+    u = {"params": {"w": {"kernel": np.ones((2, 2), np.float32)}}}
+    out, mismatches = merge_into(v, u)
+    assert ("structure", "params/w dict vs leaf") in mismatches
+    np.testing.assert_array_equal(out["params"]["w"], v["params"]["w"])
+
+
 def test_linear_equivalence():
     rng = np.random.default_rng(2)
     x = rng.normal(size=(3, 5)).astype(np.float32)
