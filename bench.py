@@ -38,7 +38,26 @@ import time
 import numpy as np
 
 BASELINE_IMG_PER_SEC_PER_CHIP = 10_000 / 300 / 8  # 4.166..., see module docstring
-T_PROC = time.monotonic()
+
+
+def _process_age_s() -> float:
+    """Seconds since the OS started this process. NOT `time.monotonic() - import
+    time`: this runtime's sitecustomize acquires the TPU grant at interpreter
+    startup, and after an ungracefully killed predecessor that acquisition retries
+    in a sleep loop for 10+ minutes BEFORE any bench code runs — budget that must
+    count against the deadline, or the driver kills us before the watchdogs fire."""
+    try:
+        with open("/proc/self/stat") as f:
+            stat = f.read()
+        starttime_ticks = float(stat.rsplit(")", 1)[1].split()[19])
+        with open("/proc/uptime") as f:
+            uptime = float(f.read().split()[0])
+        return max(uptime - starttime_ticks / os.sysconf("SC_CLK_TCK"), 0.0)
+    except (OSError, ValueError, IndexError):
+        return 0.0
+
+
+T_PROC = time.monotonic() - _process_age_s()
 
 
 class CyclicProbe:
@@ -71,6 +90,42 @@ PROGRESS: dict = {"stage": "boot", "printed": False}
 _EMIT_LOCK = __import__("threading").Lock()
 
 
+# pid-scoped coordination files for the subprocess watchdog (see
+# _start_process_watchdog): the sentinel says "the final JSON was printed", the
+# status file carries the latest progress snapshot for its fallback record
+_SENTINEL = f"/tmp/mammodissect_bench_{os.getpid()}.printed"
+_STATUS = f"/tmp/mammodissect_bench_{os.getpid()}.status"
+
+
+def _cleanup_watchdog_files():
+    # graceful exits only — on a SIGKILL'd parent the files stay behind (pid-scoped,
+    # a few hundred bytes) so the already-exiting child never misreads a missing
+    # sentinel
+    for p in (_SENTINEL, _STATUS, _STATUS + ".tmp"):
+        try:
+            os.remove(p)
+        except OSError:
+            pass
+
+
+import atexit  # noqa: E402  (module-level: must outlive main())
+
+atexit.register(_cleanup_watchdog_files)
+
+
+def _write_status():
+    """Best-effort atomic progress snapshot for the subprocess watchdog."""
+    try:
+        tmp = _STATUS + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump({k: PROGRESS.get(k) for k in
+                       ("stage", "n_images", "cum_rate_img_per_s",
+                        "last_rate_img_per_s", "rate_to_2048_img_per_s")}, f)
+        os.replace(tmp, _STATUS)
+    except OSError:
+        pass
+
+
 def _emit_final(result):
     # atomic test-and-set: the watchdog and the main thread can race right at the
     # deadline, and stdout must carry exactly ONE final JSON line
@@ -78,6 +133,10 @@ def _emit_final(result):
         if PROGRESS["printed"]:
             return False
         PROGRESS["printed"] = True
+    try:  # tell the subprocess watchdog stdout is covered BEFORE printing
+        open(_SENTINEL, "w").close()
+    except OSError:
+        pass
     print(json.dumps(result), flush=True)
     return True
 
@@ -112,6 +171,7 @@ def _start_watchdog(deadline_s: float):
                 "n_images_measured": PROGRESS.get("n_images", 0),
                 "last_stride_img_per_s": round(
                     float(PROGRESS.get("last_rate_img_per_s", 0.0)), 2),
+                "rate_to_2048_img_per_s": PROGRESS.get("rate_to_2048_img_per_s"),
                 "elapsed_s": round(time.monotonic() - T_PROC, 1),
                 "note": "runtime stalled (remote compile/transfer wedge); value is "
                         "the cumulative harvest rate observed before the stall, "
@@ -129,10 +189,72 @@ def _start_watchdog(deadline_s: float):
     return t
 
 
+_PROC_WATCHDOG_HELPER = r'''
+import json, os, signal, sys, time
+wait_s, sentinel, status, ppid, baseline = (float(sys.argv[1]), sys.argv[2],
+                                            sys.argv[3], int(sys.argv[4]),
+                                            float(sys.argv[5]))
+deadline = time.monotonic() + wait_s
+while time.monotonic() < deadline:
+    if os.path.exists(sentinel):
+        sys.exit(0)
+    try:
+        os.kill(ppid, 0)  # parent gone -> nothing to guard
+    except OSError:
+        sys.exit(0)
+    time.sleep(2)
+if os.path.exists(sentinel):
+    sys.exit(0)
+try:
+    os.kill(ppid, 0)  # parent finished (and cleaned up) in the last poll window
+except OSError:
+    sys.exit(0)
+rate, n, stage = 0.0, 0, "unknown"
+try:
+    with open(status) as f:
+        st = json.load(f)
+    rate = float(st.get("cum_rate_img_per_s") or st.get("last_rate_img_per_s") or 0.0)
+    n = int(st.get("n_images") or 0)
+    stage = st.get("stage") or "unknown"
+except Exception:
+    pass
+print(json.dumps({
+    "metric": "dissect_images_per_sec_per_chip",
+    "value": round(rate, 2), "unit": "img/s/chip",
+    "vs_baseline": round(rate / baseline, 2),
+    "detail": {"process_watchdog": True, "stage": stage, "n_images_measured": n,
+               "note": "parent stalled holding the GIL (in-process watchdog never "
+                       "ran); value from the last status snapshot, 0.0 if none"},
+}), flush=True)
+try:
+    os.kill(ppid, signal.SIGKILL)
+except OSError:
+    pass
+'''
+
+
+def _start_process_watchdog(deadline_s: float):
+    """Last line of defense: a CHILD PROCESS that prints the fallback JSON if this
+    process never does. The in-process watchdog thread cannot run while a wedged C
+    call holds the GIL — observed with the remote backend-init stall (transfer
+    stalls release it, init stalls do not) — but a subprocess has its own
+    interpreter. It inherits stdout, polls the sentinel `_emit_final` touches
+    before printing, and fires ~15 s after the in-process watchdog should have."""
+    import subprocess
+
+    wait_s = max(deadline_s - (time.monotonic() - T_PROC), 0.0) + 10.0
+    subprocess.Popen(
+        [sys.executable, "-c", _PROC_WATCHDOG_HELPER, str(wait_s), _SENTINEL,
+         _STATUS, str(os.getpid()), str(BASELINE_IMG_PER_SEC_PER_CHIP)],
+        stderr=subprocess.DEVNULL)  # stdout inherited: its one JSON line lands
+        # in the same capture as ours would have
+
+
 def partial_record(**kw):
     """Parseable progress record in the stderr tail: even a hard kill leaves a
     measured number on the record (stdout stays reserved for the ONE final line)."""
     print(json.dumps({"partial": True, **kw}), file=sys.stderr, flush=True)
+    _write_status()
 
 
 def summarize_timing(timing, tail_n=64):
@@ -176,6 +298,8 @@ def main():
     score_reserve_s = float(os.environ.get("BENCH_SCORE_RESERVE_S", 90))
     cache_dir = os.environ.get("BENCH_CACHE_DIR", "/tmp/mammodissect_bench_cache")
     _start_watchdog(deadline_s)
+    _start_process_watchdog(deadline_s)
+    _write_status()
     pool_n = min(n_images, 1024)
     n_concepts = 762
     layers = [f"blocks.{i}" for i in range(39)]
@@ -190,8 +314,11 @@ def main():
 
     note("generating pool")
     PROGRESS["stage"] = "pool"
-    rng = np.random.default_rng(0)
-    pool = np.frombuffer(rng.bytes(pool_n * h * w), np.uint8).reshape(pool_n, h, w, 1)
+    # os.urandom, NOT numpy RNG: this host's single throttled core generates PCG64
+    # bytes at ~4 MB/s (1.4 GB pool = ~6 min of the deadline budget) while the
+    # kernel CSPRNG sustains ~240 MB/s. Pixel content never affects the measured
+    # transport/compute path, so seeded determinism buys nothing here.
+    pool = np.frombuffer(os.urandom(pool_n * h * w), np.uint8).reshape(pool_n, h, w, 1)
     PROGRESS["stage"] = "warmup_compile"
 
     # warmup/compile: one chunk's worth through the resident step (the step program is
@@ -262,12 +389,21 @@ def main():
             f_n, f_t = last["first"]
             if seen > f_n and now > f_t:
                 PROGRESS["cum_rate_img_per_s"] = (seen - f_n) / (now - f_t)
+                # stable cross-round anchor: the relay throttle deepens with
+                # cumulative upload, so the whole-run average depends on how LONG
+                # the deadline let the run go; the rate up to a fixed 2048-image
+                # mark (~2.8 GB, spool + first throttle tier) is comparable
+                # between rounds regardless of deadline budget
+                if seen >= 2048 and "rate_to_2048_img_per_s" not in PROGRESS:
+                    PROGRESS["rate_to_2048_img_per_s"] = round(
+                        PROGRESS["cum_rate_img_per_s"], 2)
             if dn > 0 and last["n"] > 0:
                 tail = summarize_timing(timing[-sync_every:], tail_n=sync_every)
                 stride = tail.get(f"last_{sync_every}", {})
                 note(f"  stride: {dn / dt:.1f} img/s | "
                      + " ".join(f"{k}={v['mean']:.3f}s" for k, v in stride.items()))
             last["n"], last["t"] = seen, now
+            _write_status()
 
     t0 = time.perf_counter()
     act_chunks, emb_chunks, names, widths, n_seen = fused_harvest_embed_resident(
@@ -305,6 +441,7 @@ def main():
     # ---- timed: concept-text embedding through the real BERT tower ----
     PROGRESS["stage"] = "text_embed"
     t0 = time.perf_counter()
+    rng = np.random.default_rng(0)
     token_ids = rng.integers(1, vocab, size=(n_concepts, 64), dtype=np.int32)
     attn = np.ones_like(token_ids)
     text_feats = dissector.embed_tokens(token_ids, attn)
@@ -354,6 +491,7 @@ def main():
             "deadline_hit": n_seen < n_images,
             "harvest_s": round(harvest_s, 1),
             "harvest_img_per_s": round(float(harvest_rate), 2),
+            "rate_to_2048_img_per_s": PROGRESS.get("rate_to_2048_img_per_s"),
             "chip_side_forward_img_per_s": round(float(chip_side_rate), 1),
             "v5e8_projected_10k_wall_s": round(float(v5e8_s), 1),
             "text_embed_s": round(text_s, 2),

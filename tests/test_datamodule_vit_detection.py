@@ -44,6 +44,33 @@ class TestDataModule:
         vb = list(valid["vindr"])
         assert sum(b.n_valid for b in vb) == 4
 
+    def test_train_split_augments_and_reshuffles(self, img_csv):
+        """The train split gets train=True (augmentation, the reference's per-split
+        transforms) while valid stays deterministic, and passing `epoch` yields a
+        fresh shuffle (DistributedSampler.set_epoch parity) instead of replaying
+        the seed-0 permutation every epoch."""
+        from mammodissect.data.datamodule import DataModule
+
+        csv, root, _ = img_csv
+        dm = DataModule(
+            {"vindr": {"data_type": "image_classification", "csv_file": csv,
+                       "root": root, "label_col": "cancer", "size_hw": (40, 30)}},
+            {"batch_size": 4},
+        )
+        assert dm.datasets["vindr"]["train"].train is True
+        assert dm.datasets["vindr"]["valid"].train is False
+
+        def label_order(epoch):
+            out = []
+            for b in dm.train_dataloader(epoch=epoch):
+                out.extend(np.asarray(b.labels)[: b.n_valid].tolist())
+            return out
+
+        e0, e0_again, e1 = label_order(0), label_order(0), label_order(1)
+        assert e0 == e0_again                   # same epoch -> same permutation
+        assert sorted(e0) == sorted(e1)         # same multiset of rows
+        assert e0 != e1                         # fresh shuffle per epoch
+
 
 class TestViT:
     def test_forward_capture_and_interp_pos(self):
