@@ -511,4 +511,26 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    try:
+        main()
+    except BaseException as e:  # noqa: BLE001 — stdout must ALWAYS carry one JSON
+        # e.g. the runtime swallows a failed backend init at interpreter startup
+        # and jax.devices() then raises in get_dissector: without this, a crash
+        # publishes nothing (the watchdogs only cover deadline/stall, not a fast
+        # exception exit)
+        import traceback
+
+        traceback.print_exc(file=sys.stderr)
+        rate = float(PROGRESS.get("cum_rate_img_per_s", 0.0))
+        _emit_final({
+            "metric": "dissect_images_per_sec_per_chip",
+            "value": round(rate, 2),
+            "unit": "img/s/chip",
+            "vs_baseline": round(rate / BASELINE_IMG_PER_SEC_PER_CHIP, 2),
+            "detail": {"error": f"{type(e).__name__}: {e}"[:400],
+                       "stage": PROGRESS.get("stage"),
+                       "n_images_measured": PROGRESS.get("n_images", 0),
+                       "note": "run crashed; value is the cumulative harvest rate "
+                               "observed before the crash, 0.0 if none"},
+        })
+        raise SystemExit(4)
