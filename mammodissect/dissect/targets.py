@@ -23,6 +23,31 @@ from mammodissect.utils.registry import Registry
 TARGETS: Registry = Registry("target_model")
 
 
+def take_kwargs(kw: dict, allowed: Sequence[str], target_name: str,
+                aliases: dict | None = None) -> dict:
+    """Filter engine-supplied kwargs for a factory that consumes only `allowed`,
+    WARNING about dropped non-empty values. The engine always forwards
+    `finetuned_ckpt`/`num_class` (`engine.py` -> get_target_model); the reference's
+    HF-zoo branch (`data_utils.py:63-70`) loads hub weights and ignores those args
+    too — but silently ignoring a user's --finetuned_ckpt would dissect different
+    weights than they asked for, so the drop must be loud. `aliases` maps accepted
+    alternate spellings onto factory argument names (e.g. num_class->num_classes)."""
+    kw = dict(kw)
+    for alt, canon in (aliases or {}).items():
+        if alt in kw and canon not in kw:
+            kw[canon] = kw.pop(alt)
+    dropped = sorted(k for k, v in kw.items()
+                     if k not in allowed and v not in (None, {}, ()))
+    if dropped:
+        import warnings
+
+        warnings.warn(
+            f"target {target_name!r} ignores {dropped} — like the reference's "
+            "HF-zoo loader it takes weights only via ckpt_path/hub; the model "
+            "dissected will NOT reflect these arguments")
+    return {k: v for k, v in kw.items() if k in allowed}
+
+
 class EfficientNetTarget:
     """Dissect an EfficientNet(-Mammo) encoder's MBConv blocks ('blocks.i').
 

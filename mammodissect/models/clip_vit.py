@@ -35,7 +35,7 @@ class ResidualAttentionBlock(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, t, d = x.shape
-        h = nn.LayerNorm(name="ln_1")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_1")(x)
         qkv = nn.Dense(3 * d, name="attn_in", dtype=self.dtype)(h)
         q, k, v = jnp.split(qkv, 3, axis=-1)
         dh = d // self.n_head
@@ -48,7 +48,7 @@ class ResidualAttentionBlock(nn.Module):
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
         x = x + nn.Dense(d, name="attn_out", dtype=self.dtype)(ctx)
-        h = nn.LayerNorm(name="ln_2")(x)
+        h = nn.LayerNorm(epsilon=1e-5, name="ln_2")(x)
         h = nn.Dense(4 * d, name="mlp_fc", dtype=self.dtype)(h)
         h = quick_gelu(h)
         x = x + nn.Dense(d, name="mlp_proj", dtype=self.dtype)(h)
@@ -78,14 +78,14 @@ class ClipVisionTransformer(nn.Module):
         pos = self.param("positional_embedding", nn.initializers.normal(0.01),
                          (x.shape[1], self.width), jnp.float32)
         x = x + pos.astype(x.dtype)
-        x = nn.LayerNorm(name="ln_pre")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_pre")(x)
         captured: Dict[str, jax.Array] = {}
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, name=f"resblocks_{i}",
                                        dtype=self.dtype)(x)
             if i in capture:
                 captured[f"layers.{i}"] = x.astype(jnp.float32)
-        x = nn.LayerNorm(name="ln_post")(x[:, 0])
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_post")(x[:, 0])
         proj = self.param("proj", nn.initializers.normal(0.02),
                           (self.width, self.output_dim), jnp.float32)
         return x @ proj.astype(x.dtype), captured
@@ -112,7 +112,7 @@ class ClipTextTransformer(nn.Module):
         for i in range(self.layers):
             x = ResidualAttentionBlock(self.width, self.heads, causal=True,
                                        name=f"resblocks_{i}", dtype=self.dtype)(x)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         eot = jnp.argmax(tokens, axis=-1)
         x = x[jnp.arange(x.shape[0]), eot]
         proj = self.param("text_projection", nn.initializers.normal(0.02),
@@ -190,14 +190,104 @@ def clip_config_from_state_dict(sd: Dict[str, np.ndarray]) -> Dict:
         cfg["vision_heads"] = cfg["vision_width"] // 64
         grid = int(round((sd["visual.positional_embedding"].shape[0] - 1) ** 0.5))
         cfg["image_size"] = grid * cfg["patch_size"]
-        cfg["embed_dim"] = int(sd["visual.proj"].shape[1])
-    cfg["text_width"] = int(sd["ln_final.weight"].shape[0])
-    cfg["text_layers"] = len({k.split(".")[2] for k in sd
-                              if k.startswith("transformer.resblocks.")})
-    cfg["text_heads"] = cfg["text_width"] // 64
-    cfg["vocab_size"] = int(sd["token_embedding.weight"].shape[0])
-    cfg["context_length"] = int(sd["positional_embedding"].shape[0])
+        if "visual.proj" in sd:
+            cfg["embed_dim"] = int(sd["visual.proj"].shape[1])
+    # vision-only checkpoints (HF CLIPVisionModel / CLIPForImageClassification
+    # fine-tunes) carry no text tower: keep the named arch's text defaults
+    if "ln_final.weight" in sd:
+        cfg["text_width"] = int(sd["ln_final.weight"].shape[0])
+        cfg["text_layers"] = len({k.split(".")[2] for k in sd
+                                  if k.startswith("transformer.resblocks.")})
+        cfg["text_heads"] = cfg["text_width"] // 64
+        cfg["vocab_size"] = int(sd["token_embedding.weight"].shape[0])
+        cfg["context_length"] = int(sd["positional_embedding"].shape[0])
     return cfg
+
+
+def hf_clip_to_openai_layout(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
+    """Rewrite an HF-transformers CLIP state dict (CLIPModel / CLIPVisionModel /
+    CLIPForImageClassification — `vision_model.*`/`text_model.*` keys) into the
+    OpenAI `visual.*`/`transformer.*` naming that `clip_torch_to_flax` consumes.
+
+    The reference's clip-cub / clip-bloodmnist MODELS entries are HF-hub
+    fine-tunes loaded with AutoModelForImageClassification
+    (`concept_vit/data_utils.py:29,33,63-70`); a locally saved copy of one of
+    those arrives in this layout. q/k/v projections concatenate into torch
+    MultiheadAttention's fused in_proj [q;k;v] order; HF's separate
+    visual_projection/text_projection Linear weights transpose into the OpenAI
+    matmul-parameter convention. Classifier heads and buffer keys are dropped."""
+    # strip an optional wrapper prefix ("clip.", "model.", ...) in front of the
+    # tower names
+    prefix = ""
+    for k in sd:
+        i = k.find("vision_model.")
+        if i < 0:
+            i = k.find("text_model.")
+        if i > 0:
+            prefix = k[:i]
+            break
+    out: Dict[str, np.ndarray] = {}
+
+    def tower(src, dst_blocks, emb_map, ln_final_map):
+        n = len({k.split(f"{src}.encoder.layers.")[1].split(".")[0]
+                 for k in sd if f"{src}.encoder.layers." in k})
+        for hf_key, oa_key in emb_map.items():
+            k = prefix + f"{src}." + hf_key
+            if k in sd:
+                out[oa_key] = sd[k]
+        for i in range(n):
+            s = prefix + f"{src}.encoder.layers.{i}."
+            d = dst_blocks.format(i)
+            qw, kw, vw = (sd[s + f"self_attn.{t}_proj.weight"] for t in "qkv")
+            qb, kb, vb = (sd[s + f"self_attn.{t}_proj.bias"] for t in "qkv")
+            out[d + "attn.in_proj_weight"] = np.concatenate([qw, kw, vw], axis=0)
+            out[d + "attn.in_proj_bias"] = np.concatenate([qb, kb, vb], axis=0)
+            out[d + "attn.out_proj.weight"] = sd[s + "self_attn.out_proj.weight"]
+            out[d + "attn.out_proj.bias"] = sd[s + "self_attn.out_proj.bias"]
+            out[d + "mlp.c_fc.weight"] = sd[s + "mlp.fc1.weight"]
+            out[d + "mlp.c_fc.bias"] = sd[s + "mlp.fc1.bias"]
+            out[d + "mlp.c_proj.weight"] = sd[s + "mlp.fc2.weight"]
+            out[d + "mlp.c_proj.bias"] = sd[s + "mlp.fc2.bias"]
+            for hf_ln, oa_ln in (("layer_norm1", "ln_1"), ("layer_norm2", "ln_2")):
+                out[d + oa_ln + ".weight"] = sd[s + hf_ln + ".weight"]
+                out[d + oa_ln + ".bias"] = sd[s + hf_ln + ".bias"]
+        for hf_key, oa_key in ln_final_map.items():
+            k = prefix + f"{src}." + hf_key
+            if k in sd:
+                out[oa_key] = sd[k]
+
+    if any("vision_model." in k for k in sd):
+        tower(
+            "vision_model", "visual.transformer.resblocks.{}.",
+            {"embeddings.class_embedding": "visual.class_embedding",
+             "embeddings.patch_embedding.weight": "visual.conv1.weight",
+             "embeddings.position_embedding.weight": "visual.positional_embedding",
+             # HF ships the misspelled attribute name
+             "pre_layrnorm.weight": "visual.ln_pre.weight",
+             "pre_layrnorm.bias": "visual.ln_pre.bias",
+             "pre_layernorm.weight": "visual.ln_pre.weight",
+             "pre_layernorm.bias": "visual.ln_pre.bias"},
+            {"post_layernorm.weight": "visual.ln_post.weight",
+             "post_layernorm.bias": "visual.ln_post.bias"},
+        )
+        vp = prefix + "visual_projection.weight"
+        if vp in sd:
+            out["visual.proj"] = sd[vp].T
+    if any("text_model." in k for k in sd):
+        tower(
+            "text_model", "transformer.resblocks.{}.",
+            {"embeddings.token_embedding.weight": "token_embedding.weight",
+             "embeddings.position_embedding.weight": "positional_embedding"},
+            {"final_layer_norm.weight": "ln_final.weight",
+             "final_layer_norm.bias": "ln_final.bias"},
+        )
+        tp = prefix + "text_projection.weight"
+        if tp in sd:
+            out["text_projection"] = sd[tp].T
+    ls = prefix + "logit_scale"
+    if ls in sd:
+        out["logit_scale"] = sd[ls]
+    return out
 
 
 def clip_torch_to_flax(sd: Dict[str, np.ndarray]):
@@ -234,18 +324,24 @@ def clip_torch_to_flax(sd: Dict[str, np.ndarray]):
         put(("visual", "conv1", "kernel"), conv_to_flax(sd["visual.conv1.weight"]))
         put(("visual", "class_embedding"), sd["visual.class_embedding"])
         put(("visual", "positional_embedding"), sd["visual.positional_embedding"])
-        put(("visual", "proj"), sd["visual.proj"])
+        if "visual.proj" in sd:  # absent from HF CLIPVisionModel-only checkpoints
+            put(("visual", "proj"), sd["visual.proj"])
         for ln in ("ln_pre", "ln_post"):
             put(("visual", ln, "scale"), sd[f"visual.{ln}.weight"])
             put(("visual", ln, "bias"), sd[f"visual.{ln}.bias"])
         block("visual.transformer", ("visual",), 48)
+    if "token_embedding.weight" not in sd:  # vision-only checkpoint
+        if "logit_scale" in sd:
+            put(("logit_scale",), sd["logit_scale"])
+        return p
     put(("text", "token_embedding", "embedding"), sd["token_embedding.weight"])
     put(("text", "positional_embedding"), sd["positional_embedding"])
     put(("text", "text_projection"), sd["text_projection"])
     put(("text", "ln_final", "scale"), sd["ln_final.weight"])
     put(("text", "ln_final", "bias"), sd["ln_final.bias"])
     block("transformer", ("text",), 48)
-    put(("logit_scale",), sd["logit_scale"])
+    if "logit_scale" in sd:
+        put(("logit_scale",), sd["logit_scale"])
     return p
 
 
@@ -256,8 +352,11 @@ class OpenAIClip:
     def __init__(self, name: str = "ViT-B/16", tokenizer=None, seed: int = 0,
                  ckpt_path: Optional[str] = None, dtype=jnp.float32, **overrides):
         cfg = dict(VIT_CONFIGS.get(name, VIT_CONFIGS["ViT-B/16"]))
+        sd_np = None
         if ckpt_path:
-            # geometry comes from the checkpoint itself (build_model parity)
+            # geometry comes from the checkpoint itself (build_model parity);
+            # load + numpy-convert ONCE and reuse below (a ViT-L/14 checkpoint is
+            # ~900 MB — a second deserialization doubles load time and peak RAM)
             import torch
 
             sd_probe = torch.load(ckpt_path, map_location="cpu", weights_only=False)
@@ -265,6 +364,11 @@ class OpenAIClip:
                 sd_probe = sd_probe.state_dict()
             sd_np = {k: v.detach().cpu().numpy() for k, v in sd_probe.items()
                      if hasattr(v, "detach")}
+            del sd_probe
+            if any("vision_model." in k or "text_model." in k for k in sd_np):
+                # HF-transformers layout (the clip-cub / clip-bloodmnist hub
+                # fine-tunes saved locally) -> OpenAI naming
+                sd_np = hf_clip_to_openai_layout(sd_np)
             cfg.update(clip_config_from_state_dict(sd_np))
         cfg.update(overrides)
         self.module = ClipModule(dtype=dtype, **cfg)
@@ -273,19 +377,12 @@ class OpenAIClip:
         self.variables = jax.jit(self.module.init)(
             jax.random.PRNGKey(seed),
             jnp.ones((1, size, size, 3), jnp.float32),
-            jnp.ones((1, 77), jnp.int32),
+            jnp.ones((1, self.module.context_length), jnp.int32),
         )
-        if ckpt_path:
-            import torch
-
-            sd = torch.load(ckpt_path, map_location="cpu", weights_only=False)
-            if hasattr(sd, "state_dict"):
-                sd = sd.state_dict()
-            sd = {k: v.detach().cpu().numpy() for k, v in sd.items()
-                  if hasattr(v, "detach")}
+        if sd_np is not None:
             from mammodissect.utils.torch_convert import merge_into
 
-            converted = clip_torch_to_flax(sd)
+            converted = clip_torch_to_flax(sd_np)
             self.variables, mismatches = merge_into(self.variables, {"params": converted})
             if mismatches:
                 print(f"[clip] strict=False load: {len(mismatches)} unmatched")
@@ -345,9 +442,26 @@ def _register():
         if name not in DISSECTORS:
             DISSECTORS.register(name, lambda arch=arch, **kw: OpenAIClip(arch, **kw))
         if name not in TARGETS:
-            TARGETS.register(name, lambda arch=arch, **kw: OpenAIClip(
-                arch,
-                **{k: v for k, v in kw.items() if k not in ("finetuned_ckpt", "num_class")}))
+
+            def _make(arch=arch, name=name, **kw):
+                # OpenAIClip forwards **overrides into the module config, so only
+                # the two engine-injected args the factory cannot consume are
+                # dropped — loudly, since a user's --finetuned_ckpt would
+                # otherwise silently dissect hub/ckpt_path weights instead
+                dropped = sorted(k for k in ("finetuned_ckpt", "num_class")
+                                 if kw.get(k) is not None)
+                if dropped:
+                    import warnings
+
+                    warnings.warn(
+                        f"target {name!r} ignores {dropped} — weights come only "
+                        "from ckpt_path (the reference's HF-zoo loader likewise "
+                        "takes hub weights)")
+                kw = {k: v for k, v in kw.items()
+                      if k not in ("finetuned_ckpt", "num_class")}
+                return OpenAIClip(arch, **kw)
+
+            TARGETS.register(name, _make)
 
 
 _register()

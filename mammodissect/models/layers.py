@@ -59,9 +59,11 @@ class GeM(nn.Module):
 
     @nn.compact
     def __call__(self, x: jax.Array) -> jax.Array:
+        from mammodissect.ops.pooling import gem_pool
+
         p = self.param("p", lambda _: jnp.asarray(self.p_init, jnp.float32))
-        x = jnp.clip(x.astype(jnp.float32), self.eps, None)
-        return jnp.mean(x**p, axis=(1, 2)) ** (1.0 / p)
+        # fp32: the power mean is numerically fragile in bf16 towers
+        return gem_pool(x.astype(jnp.float32), p, self.eps)
 
 
 class SqueezeExcite(nn.Module):

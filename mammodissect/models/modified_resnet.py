@@ -66,7 +66,16 @@ class AttentionPool2d(nn.Module):
         tokens = jnp.concatenate([mean_tok, tokens], axis=1)  # [B, 1+HW, C]
         pos = self.param("positional_embedding", nn.initializers.normal(0.02),
                          (self.spacial_dim * self.spacial_dim + 1, c), jnp.float32)
-        tokens = tokens + pos[None, : tokens.shape[1]].astype(tokens.dtype)
+        if tokens.shape[1] != pos.shape[0]:
+            # the torch reference errors on a grid mismatch; silently slicing the
+            # row-major 7x7 table onto a smaller grid would misalign every row
+            # after the first
+            raise ValueError(
+                f"AttentionPool2d: input grid {h}x{w} (+CLS = {tokens.shape[1]} "
+                f"tokens) does not match spacial_dim {self.spacial_dim} "
+                f"({pos.shape[0]} positions); resize inputs to the tower's "
+                "native resolution")
+        tokens = tokens + pos[None].astype(tokens.dtype)
         q = nn.Dense(self.embed_dim, name="q_proj", dtype=self.dtype)(tokens[:, :1])
         k = nn.Dense(self.embed_dim, name="k_proj", dtype=self.dtype)(tokens)
         v = nn.Dense(self.embed_dim, name="v_proj", dtype=self.dtype)(tokens)
@@ -100,6 +109,9 @@ class ModifiedResNet(nn.Module):
         bn = lambda name: nn.BatchNorm(use_running_average=not train, momentum=0.9,
                                        epsilon=1e-5, name=name, dtype=self.dtype)
         captured: Dict[str, jax.Array] = {}
+        if x.shape[-1] == 1:
+            # grayscale -> RGB broadcast (CLIP preprocess converts to RGB)
+            x = jnp.repeat(x, 3, axis=-1)
         # 3-conv stem (`clip/model.py:90-104`)
         x = jax.nn.relu(bn("bn1")(nn.Conv(width // 2, (3, 3), strides=(2, 2),
                                           padding=((1, 1), (1, 1)), use_bias=False,

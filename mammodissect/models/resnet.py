@@ -7,7 +7,8 @@ Covers the reference's ResNet surfaces:
 - BreastClip image-encoder options resnet101/152 (`model/modules/__init__.py:47-52`,
   stage-by-stage manual forward `model/modules/image_encoder.py:123-155`)
 
-Capture: named points 'conv1' (post stem+pool) and 'layerN' (post stage), pooled
+Capture: named points 'conv1' (the conv module's output, pre-BN/ReLU — the
+reference hooks the `conv1` Conv2d, `utils.py:80`) and 'layerN' (post stage), pooled
 spatially in-jit per the 4-D rule. Torch weights import via `resnet_torch_to_flax`
 (torchvision state-dict names conv1/bn1/layerN.M.{conv1,bn1,...,downsample})."""
 from __future__ import annotations
@@ -96,13 +97,20 @@ class ResNet(nn.Module):
         block_cls, stages = RESNET_SPECS[self.variant]
         captured: Dict[str, jax.Array] = {}
 
+        if x.shape[-1] == 1:
+            # grayscale probes broadcast to RGB (the reference's imagenet
+            # preprocess PIL-converts to RGB before these towers; same rule as
+            # the EfficientNet/Swin/ViT encoders here)
+            x = jnp.repeat(x, 3, axis=-1)
         x = nn.Conv(64, (7, 7), strides=(2, 2), padding=((3, 3), (3, 3)),
                     use_bias=False, name="conv1", dtype=self.dtype)(x)
+        if "conv1" in capture:
+            # the reference hooks the `conv1` MODULE (`utils.py:80`), whose output
+            # is pre-BatchNorm pre-ReLU — capture here, not after bn1/relu
+            captured["conv1"] = pool_activation(x.astype(jnp.float32), pool_mode)
         x = nn.BatchNorm(use_running_average=not train, momentum=0.9, epsilon=1e-5,
                          name="bn1", dtype=self.dtype)(x)
         x = jax.nn.relu(x)
-        if "conv1" in capture:
-            captured["conv1"] = pool_activation(x.astype(jnp.float32), pool_mode)
         x = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), constant_values=-jnp.inf)
         x = nn.max_pool(x, (3, 3), strides=(2, 2))
 
@@ -203,15 +211,16 @@ class ResNetTarget:
 def _register():
     from mammodissect.dissect.targets import TARGETS
 
+    from mammodissect.dissect.targets import take_kwargs
+
+    _allowed = ("num_classes", "ckpt_path", "seed", "input_size")
+    _alias = {"num_class": "num_classes"}  # the engine's spelling (engine.py)
     for name in RESNET_SPECS:
         if name not in TARGETS:
             TARGETS.register(
                 name,
                 lambda name=name, **kw: ResNetTarget(
-                    variant=name,
-                    **{k: v for k, v in kw.items()
-                       if k in ("num_classes", "ckpt_path", "seed", "input_size")},
-                ),
+                    variant=name, **take_kwargs(kw, _allowed, name, _alias)),
             )
     # reference MODELS spellings for microsoft/resnet-50 and its fine-tunes
     # (`data_utils.py:25,30,34`): same resnet50 stage layout; ckpt_path for weights
@@ -219,11 +228,8 @@ def _register():
         if alias not in TARGETS:
             TARGETS.register(
                 alias,
-                lambda **kw: ResNetTarget(
-                    variant="resnet50",
-                    **{k: v for k, v in kw.items()
-                       if k in ("num_classes", "ckpt_path", "seed", "input_size")},
-                ),
+                lambda alias=alias, **kw: ResNetTarget(
+                    variant="resnet50", **take_kwargs(kw, _allowed, alias, _alias)),
             )
     if "resnet18_places" not in TARGETS:
         TARGETS.register(

@@ -91,7 +91,7 @@ class SwinBlock(nn.Module):
         hp = -(-h // m) * m
         wp = -(-w // m) * m
         shortcut = x
-        y = nn.LayerNorm(name="ln1")(x)
+        y = nn.LayerNorm(epsilon=1e-5, name="ln1")(x)
         y = jnp.pad(y, ((0, 0), (0, hp - h), (0, wp - w), (0, 0)))
         shift = self.shift if min(hp, wp) > m else 0
         if shift:
@@ -110,7 +110,7 @@ class SwinBlock(nn.Module):
             y = jnp.roll(y, (shift, shift), axis=(1, 2))
         y = y[:, :h, :w]
         x = shortcut + y
-        z = nn.LayerNorm(name="ln2")(x)
+        z = nn.LayerNorm(epsilon=1e-5, name="ln2")(x)
         z = nn.Dense(c * self.mlp_ratio, name="mlp_in", dtype=self.dtype)(z)
         z = jax.nn.gelu(z, approximate=False)
         z = nn.Dense(c, name="mlp_out", dtype=self.dtype)(z)
@@ -130,7 +130,7 @@ class PatchMerging(nn.Module):
             [x[:, 0::2, 0::2], x[:, 1::2, 0::2], x[:, 0::2, 1::2], x[:, 1::2, 1::2]],
             axis=-1,
         )
-        x = nn.LayerNorm(name="ln")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln")(x)
         return nn.Dense(2 * c, use_bias=False, name="reduction", dtype=self.dtype)(x)
 
 
@@ -229,10 +229,15 @@ class SwinEncoder(nn.Module):
     def __call__(self, x, train: bool = False, capture: Sequence[int] = (),
                  pool_mode: str = "avg"):
         spec = SWIN_SPECS[self.variant]
+        if x.shape[-1] == 1 and self.in_channels > 1:
+            # grayscale -> in_channels broadcast (PIL convert('RGB') parity; the
+            # EfficientNet tower does the same) so converted 3-channel
+            # patch-embed kernels match the traced shape
+            x = jnp.repeat(x, self.in_channels, axis=-1)
         x = nn.Conv(spec["embed"], (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size), name="patch_embed",
                     dtype=self.dtype)(x)
-        x = nn.LayerNorm(name="patch_norm")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="patch_norm")(x)
         captured: Dict[str, jax.Array] = {}
         for si, (depth, heads) in enumerate(zip(spec["depths"], spec["heads"])):
             dim = x.shape[-1]
@@ -245,6 +250,6 @@ class SwinEncoder(nn.Module):
                     x.astype(jnp.float32), pool_mode)
             if si < len(spec["depths"]) - 1:
                 x = PatchMerging(dtype=self.dtype, name=f"merge{si}")(x)
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-5, name="ln_final")(x)
         pooled = jnp.mean(x, axis=(1, 2))
         return pooled, captured

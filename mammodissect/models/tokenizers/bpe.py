@@ -41,8 +41,14 @@ def _get_pairs(word: Tuple[str, ...]):
     return {(word[i], word[i + 1]) for i in range(len(word) - 1)}
 
 
+# Unicode-aware port of the reference pattern (`simple_tokenizer.py:77`:
+# `[\p{L}]+|[\p{N}]|[^\s\p{L}\p{N}]+` via the `regex` module). Python's `re`
+# lacks \p classes; with the default Unicode flag `[^\W\d_]` matches exactly the
+# letter categories and `\d` the decimal digits, so accented/non-Latin words
+# ('naïve', report artifacts) tokenize as words, not punctuation runs.
 _WORD_RE = re.compile(
-    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d|[A-Za-z]+|[0-9]|[^\sA-Za-z0-9]+",
+    r"<\|startoftext\|>|<\|endoftext\|>|'s|'t|'re|'ve|'m|'ll|'d"
+    r"|[^\W\d_]+|\d|(?:[^\s\w]|_)+",
     re.IGNORECASE,
 )
 

@@ -33,7 +33,7 @@ class ViTLayer(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, t, d = x.shape
-        h = nn.LayerNorm(name="ln_before")(x)
+        h = nn.LayerNorm(epsilon=1e-12, name="ln_before")(x)
         qkv = [nn.Dense(d, dtype=self.dtype, name=n)(h) for n in ("query", "key", "value")]
         dh = d // self.heads
         q, k, v = (a.reshape(b, t, self.heads, dh) for a in qkv)
@@ -41,7 +41,7 @@ class ViTLayer(nn.Module):
         probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(x.dtype)
         ctx = jnp.einsum("bhqk,bkhd->bqhd", probs, v).reshape(b, t, d)
         x = x + nn.Dense(d, dtype=self.dtype, name="attn_out")(ctx)
-        h = nn.LayerNorm(name="ln_after")(x)
+        h = nn.LayerNorm(epsilon=1e-12, name="ln_after")(x)
         h = nn.Dense(d * self.mlp_ratio, dtype=self.dtype, name="mlp_in")(h)
         h = jax.nn.gelu(h, approximate=False)
         x = x + nn.Dense(d, dtype=self.dtype, name="mlp_out")(h)
@@ -65,6 +65,12 @@ class ViTImageEncoder(nn.Module):
     def __call__(self, x, train: bool = False, capture: Sequence[int] = (),
                  pool_mode: str = "avg"):
         """x NHWC -> (last_hidden_state [B, 1+T, D], {layers.i: CLS [B, D]})."""
+        if x.shape[-1] == 1 and self.in_channels > 1:
+            # grayscale probes broadcast to the tower's channel count on device
+            # (the reference's PIL convert('RGB'); same rule as the EfficientNet
+            # tower) — otherwise a 1-channel trace builds a 1-channel patch
+            # kernel and converted 3-channel weights silently fail to load
+            x = jnp.repeat(x, self.in_channels, axis=-1)
         b, h, w, c = x.shape
         x = nn.Conv(self.width, (self.patch_size, self.patch_size),
                     strides=(self.patch_size, self.patch_size), name="patch_embed",
@@ -84,7 +90,7 @@ class ViTImageEncoder(nn.Module):
             x = ViTLayer(self.width, self.heads, dtype=self.dtype, name=f"layers_{i}")(x)
             if i in capture:
                 captured[f"layers.{i}"] = x[:, 0].astype(jnp.float32)  # 3-D CLS rule
-        x = nn.LayerNorm(name="ln_final")(x)
+        x = nn.LayerNorm(epsilon=1e-12, name="ln_final")(x)
         return x, captured
 
 
@@ -183,13 +189,15 @@ class ViTTarget:
 def _register():
     from mammodissect.dissect.targets import TARGETS
 
+    from mammodissect.dissect.targets import take_kwargs
+
     for name in ("vit", "dino", "mae", "vit-cub", "vit-bloodmnist", "dino-cub",
                  "dino-bloodmnist", "mae-cub", "mae-bloodmnist"):
         if name not in TARGETS:
-            TARGETS.register(name, lambda **kw: ViTTarget(
-                **{k: v for k, v in kw.items()
-                   if k in ("ckpt_path", "input_size", "seed", "image_size",
-                            "patch_size", "width", "layers", "heads", "in_channels")}))
+            TARGETS.register(name, lambda name=name, **kw: ViTTarget(
+                **take_kwargs(kw, ("ckpt_path", "input_size", "seed", "image_size",
+                                   "patch_size", "width", "layers", "heads",
+                                   "in_channels"), name)))
 
 
 _register()

@@ -120,3 +120,14 @@ def test_toy_fallbacks_warn():
                  "projection_head": {"name": "linear", "proj_dim": 16}}}
     with pytest.warns(UserWarning, match="toy WordPiece"):
         get_dissector("breastclip", **small)
+
+
+def test_unicode_word_splitting_matches_reference():
+    """The reference pattern uses \\p{L}/\\p{N} (`simple_tokenizer.py:77`); our
+    stdlib-re port must split accented/non-Latin text identically — a chars-only
+    [A-Za-z] class turned 'naïve' into a punctuation run (regression)."""
+    ref = _load_reference_tokenizer()
+    ours = ClipBPETokenizer.default()
+    for text in ("naïve café 12 a-b_c", "mass, 3rd rib's edge!!",
+                 "Δ density ±5%", "日本語 text", "under_score__x"):
+        assert ours.encode(text) == ref.encode(text), text

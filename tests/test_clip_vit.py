@@ -109,3 +109,75 @@ def test_torch_statedict_conversion_layout():
     assert p["text"]["resblocks_0"]["attn_in"]["kernel"].shape == (d, 3 * d)
     assert p["text"]["resblocks_1"]["mlp_fc"]["kernel"].shape == (d, 4 * d)
     assert p["text"]["token_embedding"]["embedding"].shape == (vocab, d)
+
+
+def test_hf_layout_checkpoint_parity(tmp_path):
+    """The reference's clip-cub/clip-bloodmnist targets are HF-hub fine-tunes
+    (`data_utils.py:29,33,63-70`); a locally saved copy arrives with
+    vision_model.*/text_model.* keys. `hf_clip_to_openai_layout` + the existing
+    converter must reproduce transformers' CLIPModel features exactly."""
+    transformers = pytest.importorskip("transformers")
+
+    cfg = transformers.CLIPConfig(
+        projection_dim=16,
+        # widths are 64-divisible so the reference's heads=width//64 geometry
+        # inference (`clip/model.py:419`) reproduces the true head count
+        vision_config=dict(hidden_size=128, num_hidden_layers=2,
+                           num_attention_heads=2, intermediate_size=512,
+                           image_size=32, patch_size=8, projection_dim=16),
+        text_config=dict(hidden_size=128, num_hidden_layers=2,
+                         num_attention_heads=2, intermediate_size=512,
+                         max_position_embeddings=16, vocab_size=99,
+                         projection_dim=16, eos_token_id=98),
+    )
+    torch.manual_seed(0)
+    hf = transformers.CLIPModel(cfg).eval()
+
+    rng = np.random.default_rng(0)
+    pix = rng.normal(size=(2, 3, 32, 32)).astype(np.float32)
+    # EOT must be the max id so OpenAI argmax pooling and HF eos pooling agree
+    ids = np.array([[1, 5, 7, 98] + [0] * 12, [1, 9, 98, 0] + [0] * 12], np.int64)
+    with torch.no_grad():
+        want_img = hf.get_image_features(pixel_values=torch.tensor(pix)).numpy()
+        want_txt = hf.get_text_features(input_ids=torch.tensor(ids)).numpy()
+
+    ckpt = tmp_path / "hf_clip.pth"
+    torch.save(hf.state_dict(), ckpt)
+    ours = OpenAIClip(ckpt_path=str(ckpt))
+    assert ours.module.vision_layers == 2 and ours.module.vocab_size == 99
+    from mammodissect.models.clip_vit import ClipModule as _CM
+    got_img = np.asarray(ours.module.apply(
+        ours.variables, jnp.asarray(pix.transpose(0, 2, 3, 1)), method=_CM.encode_image))
+    got_txt = np.asarray(ours.module.apply(
+        ours.variables, jnp.asarray(ids.astype(np.int32)), method=_CM.encode_text))
+    np.testing.assert_allclose(got_img, want_img, atol=2e-4)
+    np.testing.assert_allclose(got_txt, want_txt, atol=2e-4)
+
+
+def test_hf_vision_only_checkpoint_loads(tmp_path):
+    """CLIPForImageClassification-style (vision-only) fine-tunes load the vision
+    tower and leave the text tower at arch defaults instead of KeyError-ing."""
+    transformers = pytest.importorskip("transformers")
+
+    vcfg = transformers.CLIPVisionConfig(
+        hidden_size=128, num_hidden_layers=2, num_attention_heads=2,
+        intermediate_size=512, image_size=32, patch_size=8, projection_dim=16)
+    torch.manual_seed(1)
+    hf = transformers.CLIPVisionModel(vcfg).eval()
+    sd = {f"clip.{k}": v for k, v in hf.state_dict().items()}  # wrapper prefix
+    sd["classifier.weight"] = torch.zeros(3, 128)  # head: must be ignored
+    sd["classifier.bias"] = torch.zeros(3)
+    ckpt = tmp_path / "hf_vision.pth"
+    torch.save(sd, ckpt)
+
+    ours = OpenAIClip(ckpt_path=str(ckpt))
+    assert ours.module.vision_layers == 2 and ours.module.image_size == 32
+
+    pix = np.random.default_rng(1).normal(size=(2, 3, 32, 32)).astype(np.float32)
+    # patch kernel converted (OIHW -> HWIO) and loaded, head dropped
+    k = np.asarray(ours.variables["params"]["visual"]["conv1"]["kernel"])
+    want_k = hf.state_dict()["vision_model.embeddings.patch_embedding.weight"].numpy()
+    np.testing.assert_allclose(k, want_k.transpose(2, 3, 1, 0), atol=1e-6)
+    out = ours.embed_images(pix.transpose(0, 2, 3, 1))
+    # no visual_projection in a CLIPVisionModel sd: proj stays at the arch default
+    assert out.shape == (2, ours.module.embed_dim) and np.isfinite(out).all()

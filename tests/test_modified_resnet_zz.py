@@ -66,3 +66,20 @@ def test_grouped_dataset(tmp_path):
     assert item["image"].shape == (16, 12, 1)
     assert item["text"] == "There is a mass."
     assert item["text2"] == "No suspicious calcification."
+
+
+def test_attnpool_grid_mismatch_raises():
+    """Regression: feeding a ModifiedResNet built for 224 a smaller image
+    silently truncated the row-major 7x7 positional table onto the smaller grid
+    (misaligned every row); the torch reference errors — so do we."""
+    import jax
+    import jax.numpy as jnp
+    import pytest as _pytest
+
+    from mammodissect.models.modified_resnet import ModifiedResNet
+
+    m = ModifiedResNet(variant="RN50", input_size=64)  # spacial_dim 2
+    variables = jax.jit(m.init)(jax.random.PRNGKey(0),
+                                jnp.ones((1, 64, 64, 3), jnp.float32))
+    with _pytest.raises(ValueError, match="does not match spacial_dim"):
+        m.apply(variables, jnp.ones((1, 32, 32, 3), jnp.float32))
