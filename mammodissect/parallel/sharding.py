@@ -35,6 +35,18 @@ def shard_batch(mesh: Mesh, batch):
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
 
 
+def replicate_tree(mesh: Mesh, tree):
+    """Device-put every leaf replicated over the mesh, with a DEFENSIVE COPY:
+    donated train steps consume their inputs, and device_put may alias the
+    caller's buffers (which would delete them out from under the caller)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    rep = replicated(mesh)
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(jnp.array(np.asarray(x), copy=True), rep), tree)
+
+
 # Megatron-style TP rules for our BERT module names (bert.py) + projection heads.
 # Matched against 'path/like/this'; first hit wins. kernel layout is [in, out]:
 # column-parallel => shard out (last dim), row-parallel => shard in (first dim).

@@ -19,18 +19,32 @@ def _checkpointer():
     return ocp.PyTreeCheckpointer()
 
 
+def _to_host(tree):
+    """device_get, EXCEPT for arrays spanning non-addressable devices (multi-host
+    tensor-parallel shards): device_get raises on those, and orbax saves
+    distributed jax.Arrays natively (each host writes its own shards), so they
+    pass through untouched."""
+    import jax
+
+    def leaf(x):
+        if isinstance(x, jax.Array) and not x.is_fully_addressable:
+            return x
+        return jax.device_get(x)
+
+    return jax.tree_util.tree_map(leaf, tree)
+
+
 def save_checkpoint(path: str, trainer_state, epoch: int, metrics: Dict[str, float],
                     predictions: Optional[np.ndarray] = None):
-    import jax
     from flax import serialization
 
     path = os.path.abspath(path)
     payload = {
-        "params": jax.device_get(trainer_state.params),
-        "batch_stats": jax.device_get(trainer_state.batch_stats),
+        "params": _to_host(trainer_state.params),
+        "batch_stats": _to_host(trainer_state.batch_stats),
         # to_state_dict: plain-dict form that from_state_dict can rebuild into the
         # optax NamedTuple structure on resume
-        "opt_state": serialization.to_state_dict(jax.device_get(trainer_state.opt_state)),
+        "opt_state": serialization.to_state_dict(_to_host(trainer_state.opt_state)),
         "step": np.asarray(trainer_state.step),
         "epoch": np.asarray(epoch),
         "metrics": {k: np.asarray(v) for k, v in metrics.items()},

@@ -122,9 +122,16 @@ def iter_epoch(
         idx = order[start : start + batch_size]
         if drop_last and len(idx) < batch_size:
             return
+        n_valid = len(idx)
+        if n_valid < batch_size:
+            # wrap-pad the tail with REAL rows (torch yields a short batch; we
+            # keep static shapes): zero-image padding fed fake all-black
+            # "negatives" into BatchNorm statistics and—before the trainer's
+            # n_valid loss mask—into the gradients themselves
+            idx = np.resize(idx, batch_size)
         imgs = np.zeros((batch_size, h, w, c), np.float32)
         labels = np.zeros((batch_size,), label_dtype)
         for j, i in enumerate(idx):
             imgs[j] = dataset.image(int(i))
             labels[j] = dataset.label(int(i))
-        yield HostBatch(images=imgs, n_valid=len(idx), start=start, labels=labels)
+        yield HostBatch(images=imgs, n_valid=n_valid, start=start, labels=labels)

@@ -197,7 +197,7 @@ def _run_eval(trainer, dataset, batch_size: int, label_dtype) -> tuple:
     preds = []
     for batch in iter_epoch(dataset, batch_size, shuffle=False,
                             label_dtype=label_dtype, host_index=hi, host_count=hc):
-        loss, p = trainer.eval_batch(batch.images, batch.labels)
+        loss, p = trainer.eval_batch(batch.images, batch.labels, batch.n_valid)
         losses.update(loss, batch.n_valid)
         preds.append(p[: batch.n_valid])
     local = np.concatenate(preds) if preds else np.zeros(0)
@@ -273,6 +273,14 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
         f"{cfg.model_base_name}_seed_{cfg.seed}_fold{cfg.cur_fold}_best_{cfg.label}_ver{cfg.VER}",
     )
     best_metric = -np.inf
+    if start_epoch > 0 and os.path.exists(ckpt_path):
+        # resuming into a dir that already holds a best checkpoint: start from
+        # ITS watch metric — resetting to -inf would let the first post-resume
+        # epoch overwrite a BETTER saved best with a worse one. A fresh
+        # checkpoints dir records its own best from scratch.
+        m = load_for_eval(ckpt_path)["metrics"] or {}
+        best_metric = float(m.get("accuracy", m.get("auroc", -np.inf)))
+        log(f"[resume] standing best at {ckpt_path}: {best_metric:.4f}")
     start = time.time()
     step = trainer.state.step
     for epoch in range(start_epoch, cfg.epochs):
@@ -281,7 +289,7 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
                                 seed=cfg.seed + epoch, balanced_weights=balanced,
                                 label_dtype=label_dtype,
                                 host_index=hi, host_count=hc):
-            loss = trainer.train_batch(batch.images, batch.labels)
+            loss = trainer.train_batch(batch.images, batch.labels, batch.n_valid)
             losses.update(loss, batch.n_valid)
             step += 1
             if step % cfg.log_freq == 0:
@@ -341,8 +349,14 @@ def inference_loop(cfg: FinetuneConfig, valid_folds: pd.DataFrame, log=print) ->
         best = load_for_eval(cfg.finetuned_ckpt_path)
         variables = best["variables"]
     tx = make_optimizer(cfg.lr, cfg.weight_decay, 1, 10)
+    # same mesh policy as train_loop: a 1-device default would evaluate on one
+    # chip of a multi-chip host, and on a pod the host-sharded eval dataset
+    # would assemble a global batch over a mesh with no addressable shards on
+    # processes != 0 (crash)
+    mesh = make_mesh(model_parallel=cfg.model_parallel) if jax.device_count() > 1 else None
     trainer = Trainer(module, variables, tx,
-                      loss_kind="ce" if cfg.multiclass else "bce", seed=cfg.seed)
+                      loss_kind="ce" if cfg.multiclass else "bce", mesh=mesh,
+                      seed=cfg.seed)
     ds = ClassifierDataset(valid_folds, image_col=cfg.image_col, label_col=cfg.label,
                            root=cfg.data_dir, size_hw=tuple(cfg.img_size),
                            mean=cfg.mean, std=cfg.std, train=False)

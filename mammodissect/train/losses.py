@@ -31,15 +31,24 @@ def softmax_cross_entropy(logits, labels, label_smoothing: float = 0.0, weights=
     return jnp.mean(loss)
 
 
-def bce_with_logits(logits, labels, pos_weight: float | jax.Array | None = None):
+def bce_with_logits(logits, labels, pos_weight: float | jax.Array | None = None,
+                    weights=None):
     """Mean binary CE with optional positive-class weight (torch BCEWithLogitsLoss
-    semantics: loss = -[w_p·y·log σ(x) + (1−y)·log(1−σ(x))], mean reduction)."""
+    semantics: loss = -[w_p·y·log σ(x) + (1−y)·log(1−σ(x))], mean reduction).
+    `weights` [B]: per-row mask/weight — a weighted mean, used to exclude the
+    wrap-padded tail rows of a static-shape batch."""
     logits = logits.reshape(-1).astype(jnp.float32)
     labels = labels.reshape(-1).astype(jnp.float32)
     log_p = jax.nn.log_sigmoid(logits)
     log_not_p = jax.nn.log_sigmoid(-logits)
     w = 1.0 if pos_weight is None else pos_weight
     loss = -(w * labels * log_p + (1.0 - labels) * log_not_p)
+    if weights is not None:
+        weights = weights.reshape(-1).astype(jnp.float32)
+        # multi-label logits [B, C] flattened to B*C elements: average per row
+        # first so the row mask applies cleanly
+        per_row = loss.reshape(weights.shape[0], -1).mean(axis=1)
+        return jnp.sum(per_row * weights) / jnp.maximum(jnp.sum(weights), 1e-12)
     return jnp.mean(loss)
 
 

@@ -18,7 +18,7 @@ import jax.numpy as jnp
 
 from mammodissect.models.breastclip import BreastClip, default_model_config
 from mammodissect.parallel.mesh import make_mesh
-from mammodissect.parallel.sharding import param_shardings, replicated, shard_batch
+from mammodissect.parallel.sharding import param_shardings, shard_batch
 from mammodissect.train.checkpoints import save_checkpoint
 from mammodissect.train.clip_trainer import jit_clip_train_step
 from mammodissect.train.loggers import MasterOnlyWriter
@@ -92,10 +92,10 @@ def pretrain(cfg: PretrainConfig, dataset, log=print) -> Dict:
         params = put(variables["params"], p_shard)
         stats = put(variables["batch_stats"], s_shard)
     else:
-        rep = replicated(mesh)
-        put = lambda t: jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.array(x, copy=True), rep), t)
-        params, stats = put(variables["params"]), put(variables["batch_stats"])
+        from mammodissect.parallel.sharding import replicate_tree
+
+        params = replicate_tree(mesh, variables["params"])
+        stats = replicate_tree(mesh, variables["batch_stats"])
     opt_state = tx.init(params)
 
     tb = MasterOnlyWriter(cfg.tensorboard_path)
@@ -103,6 +103,7 @@ def pretrain(cfg: PretrainConfig, dataset, log=print) -> Dict:
     key = jax.random.PRNGKey(cfg.seed)
     losses = AverageMeter()
     step = 0
+    loss = jnp.nan  # len(dataset) < batch_size yields ZERO batches (drop_last)
     hi, hc = jax.process_index(), jax.process_count()
 
     def to_device(host_batch):
@@ -121,8 +122,12 @@ def pretrain(cfg: PretrainConfig, dataset, log=print) -> Dict:
                                          max_length=cfg.text_max_length,
                                          seed=cfg.seed + epoch,
                                          host_index=hi, host_count=hc):
+                # numpy straight through: to_device shards/assembles itself, and
+                # a jnp.asarray here would round-trip the ~40 MB image batch
+                # device->host->device on multi-host (global_batch_from_local
+                # starts from process-local NUMPY slices)
                 device_batch = to_device({
-                    k: jnp.asarray(v) for k, v in batch.items()
+                    k: v for k, v in batch.items()
                     if k not in ("texts", "texts2")
                 })
                 key, sub = jax.random.split(key)

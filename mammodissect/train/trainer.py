@@ -23,7 +23,7 @@ import numpy as np
 import optax
 
 from mammodissect.parallel.mesh import make_mesh
-from mammodissect.parallel.sharding import batch_sharding, replicated
+from mammodissect.parallel.sharding import batch_sharding, replicate_tree
 from mammodissect.train.losses import bce_with_logits, softmax_cross_entropy
 from mammodissect.train.schedule import linear_warmup_cosine_annealing
 
@@ -79,10 +79,7 @@ class Trainer:
         # place params replicated / batch sharded over the mesh; copy defensively —
         # the train step donates its inputs, and device_put may alias the caller's
         # buffers (which would delete them out from under the caller)
-        rep = replicated(self.mesh)
-        put = lambda t: jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.array(x, copy=True), rep), t
-        )
+        put = lambda t: replicate_tree(self.mesh, t)
         self.state = TrainerState(
             params=put(params),
             batch_stats=put(batch_stats),
@@ -92,16 +89,18 @@ class Trainer:
         self._eval_step = self._build_eval_step()
 
     # ------------------------------------------------------------------ steps
-    def _loss(self, logits, labels):
+    def _loss(self, logits, labels, weights=None):
         if self.loss_kind == "ce":
-            return softmax_cross_entropy(logits, labels.astype(jnp.int32))
-        return bce_with_logits(logits, labels, pos_weight=self.pos_weight)
+            return softmax_cross_entropy(logits, labels.astype(jnp.int32),
+                                         weights=weights)
+        return bce_with_logits(logits, labels, pos_weight=self.pos_weight,
+                               weights=weights)
 
     def _build_train_step(self):
         module, tx = self.module, self.tx
         b_shard = batch_sharding(self.mesh)
 
-        def step(params, batch_stats, opt_state, images, labels, rng):
+        def step(params, batch_stats, opt_state, images, labels, weights, rng):
             def loss_fn(p):
                 out, mutated = module.apply(
                     {"params": p, "batch_stats": batch_stats},
@@ -111,7 +110,7 @@ class Trainer:
                     rngs={"dropout": rng},
                 )
                 logits = out[0] if isinstance(out, tuple) else out
-                return self._loss(logits, labels), mutated["batch_stats"]
+                return self._loss(logits, labels, weights), mutated["batch_stats"]
 
             (loss, new_stats), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
             updates, new_opt = tx.update(grads, opt_state, params)
@@ -120,7 +119,7 @@ class Trainer:
 
         return jax.jit(
             step,
-            in_shardings=(None, None, None, b_shard, b_shard, None),
+            in_shardings=(None, None, None, b_shard, b_shard, b_shard, None),
             donate_argnums=(0, 1, 2),
         )
 
@@ -128,32 +127,35 @@ class Trainer:
         module = self.module
         b_shard = batch_sharding(self.mesh)
 
-        def step(params, batch_stats, images, labels):
+        def step(params, batch_stats, images, labels, weights):
             out = module.apply(
                 {"params": params, "batch_stats": batch_stats}, images, train=False
             )
             logits = out[0] if isinstance(out, tuple) else out
-            loss = self._loss(logits, labels)
+            loss = self._loss(logits, labels, weights)
             if self.loss_kind == "ce":
                 preds = jnp.argmax(logits, axis=-1).astype(jnp.float32)
             else:
                 preds = jax.nn.sigmoid(logits.reshape(logits.shape[0], -1)[:, 0])
             return loss, preds
 
-        return jax.jit(step, in_shardings=(None, None, b_shard, b_shard))
+        return jax.jit(step, in_shardings=(None, None, b_shard, b_shard, b_shard))
 
     # ------------------------------------------------------------------ public
-    def _to_device(self, images, labels):
+    def _to_device(self, images, labels, weights):
         """Single-process: plain arrays (pjit shards them). Multi-host: every
         process holds its LOCAL slice of the global batch — assemble one global
         jax.Array over the mesh's 'data' axis (DistributedSampler -> DDP input
-        parity, `Datasets/dataset_utils.py:236-251`)."""
+        parity, `Datasets/dataset_utils.py:236-251`). `weights` rides along so
+        each host's wrap-padded tail rows are masked in ITS slice of the
+        global batch."""
         if jax.process_count() == 1:
-            return jnp.asarray(images), jnp.asarray(labels)
+            return jnp.asarray(images), jnp.asarray(labels), jnp.asarray(weights)
         from mammodissect.parallel.multihost import global_batch_from_local
 
-        g = global_batch_from_local(self.mesh, {"i": images, "l": labels})
-        return g["i"], g["l"]
+        g = global_batch_from_local(self.mesh,
+                                    {"i": images, "l": labels, "w": weights})
+        return g["i"], g["l"], g["w"]
 
     @staticmethod
     def _local_rows(preds) -> np.ndarray:
@@ -173,23 +175,36 @@ class Trainer:
         return np.concatenate(
             [np.asarray(by_start[k]) for k in sorted(by_start)], axis=0)
 
-    def train_batch(self, images: np.ndarray, labels: np.ndarray) -> float:
+    def train_batch(self, images: np.ndarray, labels: np.ndarray,
+                    n_valid: int | None = None) -> float:
+        """`n_valid`: count of real rows; the wrap-padded tail beyond it is
+        masked out of the loss/gradients (torch's short tail batch has no such
+        rows at all)."""
         self._key, sub = jax.random.split(self._key)
-        images, labels = self._to_device(images, labels)
+        weights = self._row_weights(len(labels), n_valid)
+        images, labels, weights = self._to_device(images, labels, weights)
         with self.mesh:
             p, s, o, loss = self._train_step(
                 self.state.params, self.state.batch_stats, self.state.opt_state,
-                images, labels, sub,
+                images, labels, weights, sub,
             )
         self.state = TrainerState(p, s, o, self.state.step + 1)
         return float(loss)
 
-    def eval_batch(self, images: np.ndarray, labels: np.ndarray) -> Tuple[float, np.ndarray]:
-        images, labels = self._to_device(images, labels)
+    @staticmethod
+    def _row_weights(batch_len: int, n_valid: int | None) -> np.ndarray:
+        if n_valid is None:
+            return np.ones((batch_len,), np.float32)
+        return (np.arange(batch_len) < int(n_valid)).astype(np.float32)
+
+    def eval_batch(self, images: np.ndarray, labels: np.ndarray,
+                   n_valid: int | None = None) -> Tuple[float, np.ndarray]:
+        weights = self._row_weights(len(labels), n_valid)
+        images, labels, weights = self._to_device(images, labels, weights)
         with self.mesh:
             loss, preds = self._eval_step(
                 self.state.params, self.state.batch_stats,
-                images, labels,
+                images, labels, weights,
             )
         return float(loss), self._local_rows(preds)
 
@@ -203,10 +218,7 @@ class Trainer:
         torch.save never had (`experiments.py:243-276`)."""
         from flax import serialization
 
-        rep = replicated(self.mesh)
-        put = lambda t: jax.tree_util.tree_map(
-            lambda x: jax.device_put(jnp.array(np.asarray(x), copy=True), rep), t
-        )
+        put = lambda t: replicate_tree(self.mesh, t)
         # from_state_dict recovers container types (optax NamedTuple opt_states
         # deserialize as plain dicts from orbax)
         opt_state = serialization.from_state_dict(

@@ -25,15 +25,19 @@ def retrieval_metrics(image_embs: np.ndarray, text_embs: np.ndarray,
 
 def evaluate_retrieval(dissector, dataset, batch_size: int = 32,
                        ks: Sequence[int] = (1, 5, 10)) -> Dict[str, float]:
-    """Embed a RetrievalDataset's images + texts pairwise and score."""
-    images, texts = [], []
-    for i in range(len(dataset)):
-        item = dataset[i]
-        images.append(item["image"])
-        texts.append(item["text"])
+    """Embed a RetrievalDataset's images + texts pairwise and score.
+
+    Images decode lazily per batch: at the canonical 1520x912 float32
+    (~5.5 MB/image) a few thousand pairs pre-materialized would be >10 GB of
+    host RAM; only `batch_size` images ever live at once."""
+    n = len(dataset)
+    texts = []
     img_embs = []
-    for start in range(0, len(images), batch_size):
-        img_embs.append(dissector.embed_images(np.stack(images[start:start + batch_size])))
-    image_embs = np.concatenate(img_embs)
+    for start in range(0, n, batch_size):
+        batch = [dataset[i] for i in range(start, min(start + batch_size, n))]
+        texts.extend(item["text"] for item in batch)
+        img_embs.append(dissector.embed_images(
+            np.stack([item["image"] for item in batch])))
+    image_embs = np.concatenate(img_embs) if img_embs else np.zeros((0, 1))
     text_embs = dissector.embed_texts(texts)
     return retrieval_metrics(image_embs, text_embs, ks)

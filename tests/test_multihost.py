@@ -268,7 +268,7 @@ def test_train_eval_multihost_gather(monkeypatch):
             return float(i % 2)
 
     class FakeTrainer:
-        def eval_batch(self, images, labels):
+        def eval_batch(self, images, labels, n_valid=None):
             # prediction = the image's constant value (identity on row id)
             return 0.0, images[:, 0, 0, 0]
 

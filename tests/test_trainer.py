@@ -102,3 +102,66 @@ def test_ce_mode_multiclass(setup):
     loss, preds = tr.eval_batch(x, y)
     assert preds.shape == (16,)
     assert set(np.unique(preds)).issubset({0.0, 1.0, 2.0, 3.0})
+
+
+def test_padded_tail_rows_do_not_affect_gradients():
+    """Regression: the tail batch of an epoch is padded to static shape; padded
+    rows beyond n_valid must contribute NOTHING to loss or gradients (torch's
+    short tail batch has no such rows). Two steps from identical state with
+    different garbage in the padded rows must produce identical params.
+
+    BN-free module: BatchNorm batch statistics necessarily see all rows — that
+    residual is handled by iter_epoch wrap-padding REAL rows (tested below)."""
+
+    class NoBN(nn.Module):
+        @nn.compact
+        def __call__(self, x, train: bool = False):
+            x = nn.Conv(4, (3, 3), name="c")(x)
+            x = jax.nn.relu(x).mean(axis=(1, 2))
+            return nn.Dense(1, name="head")(x)
+
+    module = NoBN()
+    variables = module.init(jax.random.PRNGKey(0), jnp.ones((1, 8, 8, 1)))
+    mesh = make_mesh()
+    x, y = _data(8)
+
+    def one_step(pad_fill):
+        tx = make_optimizer(lr=5e-2, weight_decay=0.0, warmup_steps=0, total_steps=10)
+        tr = Trainer(module, variables, tx, loss_kind="bce", mesh=mesh)
+        imgs = x.copy()
+        labels = y.copy()
+        imgs[5:] = pad_fill
+        labels[5:] = 1.0 - labels[5:]
+        loss = tr.train_batch(imgs, labels, n_valid=5)
+        return loss, jax.device_get(tr.state.params)
+
+    l1, p1 = one_step(0.0)
+    l2, p2 = one_step(77.0)
+    assert l1 == l2
+    jax.tree_util.tree_map(np.testing.assert_array_equal, p1, p2)
+
+
+def test_iter_epoch_tail_wrap_pads_real_rows():
+    """Regression: the tail batch padded with all-zero images/labels, feeding
+    fake negatives into BatchNorm statistics; it must wrap real rows instead."""
+    from mammodissect.train.data import iter_epoch
+
+    class DS:
+        image_shape = (4, 4, 1)
+
+        def __len__(self):
+            return 5
+
+        def image(self, i):
+            return np.full((4, 4, 1), float(i + 1), np.float32)
+
+        def label(self, i):
+            return float(i + 1)
+
+    batches = list(iter_epoch(DS(), 4, shuffle=False))
+    tail = batches[-1]
+    assert tail.n_valid == 1
+    assert tail.labels[0] == 5.0
+    # padded rows repeat the real tail row, not zeros
+    assert (tail.labels[1:] == 5.0).all()
+    assert (tail.images[1:] == 5.0).all()
