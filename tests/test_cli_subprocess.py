@@ -9,32 +9,43 @@ import pandas as pd
 import pytest
 
 
-@pytest.mark.parametrize("extra", [[], ["--similarity_fn", "wpmi"]])
-def test_dissect_cli_subprocess(tmp_path, extra):
+def test_dissect_cli_subprocess(tmp_path):
+    """One subprocess, two CLI invocations: a fresh cos_similarity run, then a wpmi
+    run that shares the activation cache (exercises the reference's skip-if-exists
+    semantics across driver invocations). Sharing the process halves the dominant
+    cost — fresh-interpreter import + XLA compile — without losing the true
+    argv-level CLI surface (both calls go through main(argv))."""
     concepts = tmp_path / "c.txt"
     concepts.write_text("alpha\nbeta\ngamma\ndelta\n")
     env = dict(os.environ, JAX_PLATFORMS="cpu",
                MAMMODISSECT_FORCE_CPU="1")
     code = (
         "import jax; jax.config.update('jax_platforms','cpu');"
-        "import sys; from mammodissect.cli.dissect import main; sys.exit(main())"
+        "import sys; from mammodissect.cli.dissect import main;"
+        "i = sys.argv.index('--similarity_fn');"
+        "rc = main(sys.argv[1:i] + ['--similarity_fn', 'cos_similarity',"
+        "                           '--result_dir', sys.argv[i+2] + '/r1']);"
+        "rc |= main(sys.argv[1:i] + ['--similarity_fn', 'wpmi',"
+        "                            '--result_dir', sys.argv[i+2] + '/r2']);"
+        "sys.exit(rc)"
     )
     args = [
         sys.executable, "-c", code,
         "--target_model", "tiny_cnn", "--d_probe", "synthetic",
         "--target_layers", "_blocks[1]",
         "--concept_set", str(concepts), "--clip_model", "random",
-        "--similarity_fn", "cos_similarity",
-        "--result_dir", str(tmp_path / "r"), "--activation_dir", str(tmp_path / "a"),
+        "--activation_dir", str(tmp_path / "a"),
         "--probe_kwargs", json.dumps({"n": 8, "h": 64, "w": 64, "c": 1}),
-    ] + extra
+        "--similarity_fn", "placeholder", str(tmp_path),
+    ]
     out = subprocess.run(args, capture_output=True, text=True, timeout=280, env=env)
     assert out.returncode == 0, out.stderr[-2000:]
-    assert "Dissection done!" in out.stdout
-    csvs = list((tmp_path / "r").rglob("*.csv"))
-    assert len(csvs) == 1
-    df = pd.read_csv(csvs[0])
-    assert list(df.columns) == ["layer", "unit", "description", "similarity", "images"]
+    assert out.stdout.count("Dissection done!") == 2
+    for sub in ("r1", "r2"):
+        csvs = list((tmp_path / sub).rglob("*.csv"))
+        assert len(csvs) == 1
+        df = pd.read_csv(csvs[0])
+        assert list(df.columns) == ["layer", "unit", "description", "similarity", "images"]
 
 
 def test_modified_resnet_converter_layout():
