@@ -15,10 +15,16 @@ Results land in docs/PERF.md by hand — this is a measurement tool, not a test.
 from __future__ import annotations
 
 import os
+import sys
 import time
 from typing import Any, Tuple
 
 import numpy as np
+
+# `python tools/profile_b5_stages.py` puts tools/ (not the repo root) on sys.path,
+# and PYTHONPATH=/root/repo breaks the TPU plugin discovery on this host — so
+# bootstrap the import path here instead.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def main():
