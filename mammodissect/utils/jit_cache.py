@@ -13,7 +13,13 @@ _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "mammodissect", "
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
-    if jax.default_backend() == "cpu":
+    # Effective platform, NOT jax.default_backend(): once a TPU backend has been
+    # initialized, default_backend() keeps reporting it even after
+    # jax.config.update("jax_platforms", "cpu") — while compiles actually go to
+    # CPU (observed in the multichip dryrun, which re-enabled the shared cache
+    # through the stale guard and loaded CPU AOT entries from other hosts).
+    platform = (getattr(jax.config, "jax_platforms", None) or "").split(",")[0]
+    if (platform or jax.default_backend()) == "cpu":
         # CPU compiles are fast and AOT cache entries are machine-feature-pinned
         # (cross-machine loads warn about possible SIGILL) — not worth caching.
         return None
