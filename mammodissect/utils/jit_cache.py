@@ -13,15 +13,19 @@ _DEFAULT_DIR = os.path.join(os.path.expanduser("~"), ".cache", "mammodissect", "
 def enable_compilation_cache(cache_dir: str | None = None) -> str | None:
     import jax
 
-    # Effective platform, NOT jax.default_backend(): once a TPU backend has been
-    # initialized, default_backend() keeps reporting it even after
-    # jax.config.update("jax_platforms", "cpu") — while compiles actually go to
-    # CPU (observed in the multichip dryrun, which re-enabled the shared cache
-    # through the stale guard and loaded CPU AOT entries from other hosts).
+    # CPU compiles are fast and AOT cache entries are machine-feature-pinned
+    # (cross-machine loads warn about possible SIGILL) — never cache them. Two
+    # independent signals, either one vetoes:
+    #  * jax_platforms first entry: once a TPU backend is initialized,
+    #    default_backend() keeps reporting it even after
+    #    jax.config.update("jax_platforms", "cpu") while compiles actually go to
+    #    CPU (observed: the multichip dryrun re-enabled the shared cache through
+    #    the stale guard and loaded CPU AOT entries from other hosts);
+    #  * default_backend(): this env pins jax_platforms="axon,cpu", and if the
+    #    axon plugin fails to initialize (chip held elsewhere) JAX falls back to
+    #    the cpu entry — the platform string alone would miss that.
     platform = (getattr(jax.config, "jax_platforms", None) or "").split(",")[0]
-    if (platform or jax.default_backend()) == "cpu":
-        # CPU compiles are fast and AOT cache entries are machine-feature-pinned
-        # (cross-machine loads warn about possible SIGILL) — not worth caching.
+    if platform == "cpu" or jax.default_backend() == "cpu":
         return None
     cache_dir = cache_dir or os.environ.get("MAMMODISSECT_XLA_CACHE", _DEFAULT_DIR)
     os.makedirs(cache_dir, exist_ok=True)

@@ -38,6 +38,12 @@ except (OSError, StopIteration):
 _fp = _hashlib.sha1(_flags.encode()).hexdigest()[:10]
 _test_cache = os.path.join(os.path.expanduser("~"), ".cache", "mammodissect",
                            f"xla-tests-{_fp}")
+# reclaim the pre-fingerprint cache dir (GBs of AOT entries, never read again)
+import shutil as _shutil
+
+_legacy = os.path.join(os.path.expanduser("~"), ".cache", "mammodissect", "xla-tests")
+if os.path.isdir(_legacy):
+    _shutil.rmtree(_legacy, ignore_errors=True)
 os.makedirs(_test_cache, exist_ok=True)
 jax.config.update("jax_compilation_cache_dir", _test_cache)
 jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)

@@ -9,7 +9,8 @@ trades idle-MXU cycles for VPU cycles; bit-equivalent when the off-diagonal taps
 zero, so it is a legal drop-in if it wins).
 
 Run on the TPU host:  python tools/profile_b5_stages.py  (env knobs: PROF_BATCH,
-PROF_STAGES=prefix list, PROF_DENSE=1 to include the dense-depthwise A/B).
+PROF_STAGES=prefix list; the dense-depthwise A/B runs by default, PROF_DENSE=0
+skips it — it costs two extra full-res compiles and ~GBs of relay upload).
 Results land in docs/PERF.md by hand — this is a measurement tool, not a test.
 """
 from __future__ import annotations
