@@ -188,3 +188,22 @@ def test_reference_models_dict_names_all_resolve():
               "resnet-cub", "dino-bloodmnist", "vit-bloodmnist",
               "clip-bloodmnist"]:
         assert n in TARGETS, n
+
+
+def test_compilation_cache_guard_refuses_cpu():
+    """The persistent compile cache must never be enabled for CPU programs: once a
+    TPU backend initializes, jax.default_backend() keeps reporting it even after
+    jax.config.update('jax_platforms','cpu'), so the guard also consults the
+    platform config — a regression here re-poisons the shared cache dir with
+    machine-feature-pinned CPU AOT entries (cross-host loads risk SIGILL and
+    swap conv algorithms, which is what flipped the multichip gate)."""
+    import jax
+
+    from mammodissect.utils.jit_cache import enable_compilation_cache
+
+    # conftest pins jax_platforms='cpu' for the whole suite, which is exactly the
+    # stale-default_backend configuration the guard must veto
+    assert (getattr(jax.config, "jax_platforms", "") or "").split(",")[0] == "cpu"
+    before = jax.config.jax_compilation_cache_dir
+    assert enable_compilation_cache() is None
+    assert jax.config.jax_compilation_cache_dir == before  # untouched
