@@ -778,14 +778,11 @@ def get_similarity_from_activations(
     kwargs = {}
     if getattr(similarity_fn, "__name__", "") in ("soft_wpmi",):
         kwargs["top_k"] = min(top_k, target_feats.shape[0])
-        # fused Pallas gather+log-reduce on TPU when the staged column block fits VMEM
-        import jax
-
-        from mammodissect.ops.pallas_wpmi import pallas_fits
-
-        if jax.default_backend() == "tpu" and pallas_fits(
-                target_feats.shape[0], target_feats.shape[1], kwargs["top_k"]):
-            kwargs["use_pallas"] = True
+        # NOT auto-enabling the Pallas gather+log-reduce kernel: measured on this
+        # chip at both canonical geometries (10k/2k images x 762 x 512, top_k 100)
+        # the XLA gather path is now ~1.7-1.8x FASTER (6.0 vs 10.2 ms) — XLA's
+        # gather emitter overtook the hand kernel since the round-2 measurement.
+        # The kernel remains available via soft_wpmi(..., use_pallas=True).
     # NOTE: unit-count bucketing (pad U to few sizes to cut per-width recompiles) is
     # deliberately NOT done: soft_wpmi's log p(d) is a logsumexp over units, so padded
     # units would shift every score and break exact reference agreement.
@@ -831,13 +828,8 @@ def score_all_layers(
     kwargs = {}
     if similarity_name == "soft_wpmi":
         kwargs["top_k"] = min(top_k, target_cat.shape[0])
-        import jax
-
-        from mammodissect.ops.pallas_wpmi import pallas_fits
-
-        if jax.default_backend() == "tpu" and pallas_fits(
-                target_cat.shape[0], target_cat.shape[1], kwargs["top_k"]):
-            kwargs["use_pallas"] = True
+        # Pallas kernel not auto-enabled — measured slower than XLA's gather path
+        # at canonical geometry (see get_similarity_from_activations).
     if similarity_name in SEGMENTED_FNS:
         segment_ids = np.repeat(np.arange(len(layers), dtype=np.int32), widths)
         sim_cat = np.asarray(
