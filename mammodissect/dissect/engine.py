@@ -138,6 +138,8 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
     # exact-match gate: "breastclip_swin"/"breastclip_classifier" targets capture
     # different layer keys than the CNN dissector tower, and target_kwargs would be
     # silently dropped by this path — both must fall through to the staged harvest
+    import jax as _jax
+
     if (
         (missing_layers or clip_missing)
         and cfg.target_model == "breastclip"
@@ -147,6 +149,9 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
         and target is None
         and hasattr(probe, "image_u8")
         and hasattr(probe, "mean")
+        # _fused_harvest_embed has no multi-host gather; the staged harvest below
+        # handles real multi-host (global-mesh u8 dispatch + allgather-and-trim)
+        and _jax.process_count() == 1
     ):
         try:
             probe.image_u8(0)
@@ -290,13 +295,12 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
     the reference (`experiments.py:554-564`).
 
     Returns ({layer: [N, C] float32}, n_images)."""
+    import warnings
     from collections import deque
 
     import jax
 
-    if getattr(target, "mesh", None) is None and hasattr(target, "set_mesh"):
-        _attach_mesh(target, auto_data_mesh())
-    batch_size = _round_batch(batch_size, getattr(target, "mesh", None))
+    from mammodissect.parallel.mesh import global_data_mesh, mesh_spans_processes
 
     n_procs = jax.process_count()
     if n_procs > 1:
@@ -307,7 +311,6 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
         # the true probe length, not the per-host shard length, is what the gathered
         # result trims to — a pre-wrapped probe must not truncate the global harvest
         n_total = len(probe.base)
-        batch_size = max(batch_size // n_procs, 1)  # local slice of the global batch
     else:
         n_total = len(probe)
 
@@ -321,6 +324,33 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
             probe.image_u8(0)
         except Exception:
             use_u8 = False
+
+    # Mesh choice depends on the path (verified against a REAL 2-process run):
+    #  * u8 dispatch builds GLOBAL-batch programs — each process contributes its
+    #    local slice via make_array_from_process_local_data, which requires a mesh
+    #    spanning every process. A local-only mesh crashes with a half-sized input.
+    #  * the f32 fallback computes LOCAL results then process-allgathers — its
+    #    per-host device_put needs a LOCAL mesh.
+    if hasattr(target, "set_mesh"):
+        mesh = getattr(target, "mesh", None)
+        want_global = n_procs > 1 and use_u8
+        if want_global and not mesh_spans_processes(mesh):
+            if mesh is not None:
+                warnings.warn(
+                    "multi-host u8 harvest needs a process-spanning mesh; replacing "
+                    "the target's local mesh with the global data mesh")
+            target.set_mesh(global_data_mesh())
+        elif not want_global and mesh is None:
+            _attach_mesh(target, auto_data_mesh())
+        elif n_procs > 1 and not use_u8 and mesh is not None \
+                and mesh_spans_processes(mesh):
+            warnings.warn(
+                "multi-host f32-fallback harvest computes per-host results; "
+                "replacing the target's global mesh with the local data mesh")
+            target.set_mesh(auto_data_mesh())
+    batch_size = _round_batch(batch_size, getattr(target, "mesh", None))
+    if n_procs > 1:
+        batch_size = max(batch_size // n_procs, 1)  # local slice of the global batch
     acc: Dict[str, list] = {l: [] for l in layers}
     n_images = 0
 

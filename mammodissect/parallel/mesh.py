@@ -53,6 +53,27 @@ def auto_data_mesh(min_devices: int = 2) -> Optional[Mesh]:
     return make_mesh(devices, model_parallel=1)
 
 
+def global_data_mesh(min_devices: int = 2) -> Optional[Mesh]:
+    """Data-only mesh over ALL devices in the job, spanning processes.
+
+    Real multi-host harvests need this: each process contributes its local slice
+    of the global batch via `jax.make_array_from_process_local_data`, which only
+    works when the sharding's mesh covers every process's devices. (A local-only
+    mesh makes the 'global' array per-host and the global-batch program's input
+    shape half-sized — a crash, not a silent wrong answer, but a crash.)"""
+    devices = jax.devices()
+    if len(devices) < min_devices:
+        return None
+    return make_mesh(devices, model_parallel=1)
+
+
+def mesh_spans_processes(mesh: Optional[Mesh]) -> bool:
+    """True when the mesh covers every process in the job."""
+    if mesh is None:
+        return jax.process_count() == 1
+    return len({d.process_index for d in mesh.devices.flat}) == jax.process_count()
+
+
 def data_parallel_size(mesh: Optional[Mesh]) -> int:
     return int(mesh.shape[DATA_AXIS]) if mesh is not None else 1
 
