@@ -45,7 +45,34 @@ target2 = get_target_model("tiny_cnn")
 acc_f32, n_f32 = harvest_probe(target2, probe_f32, LAYERS, "avg", batch_size=4)
 
 assert n_u8 == n_f32 == 11, (n_u8, n_f32)
+
+# training: global batch assembled from per-host local slices, grads allreduced by
+# GSPMD — two steps so the second loss also checks the first update's gradients
+import jax.numpy as jnp  # noqa: E402
+
+from mammodissect.models.classifier import BreastClipClassifierModule  # noqa: E402
+from mammodissect.parallel.mesh import make_mesh  # noqa: E402
+from mammodissect.parallel.multihost import gather_predictions  # noqa: E402
+from mammodissect.train.trainer import Trainer, make_optimizer  # noqa: E402
+
+module = BreastClipClassifierModule(variant="efficientnet-test", n_class=1)
+variables = jax.jit(module.init)(
+    jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 1), jnp.float32))
+variables = {"params": variables["params"],
+             "batch_stats": variables.get("batch_stats", {})}
+tx = make_optimizer(lr=1e-2, weight_decay=1e-4, warmup_steps=1, total_steps=10)
+trainer = Trainer(module, variables, tx, loss_kind="bce", pos_weight=2.0,
+                  mesh=make_mesh(model_parallel=1))
+t_rng = np.random.default_rng(7)
+t_images = np.asarray(t_rng.normal(size=(8, 32, 32, 1)), np.float32)
+t_labels = np.asarray(t_rng.integers(0, 2, size=(8,)), np.float32)
+lo, hi = pid * 4, (pid + 1) * 4
+losses = [trainer.train_batch(t_images[lo:hi], t_labels[lo:hi]) for _ in range(2)]
+_, preds_local = trainer.eval_batch(t_images[lo:hi], t_labels[lo:hi])
+preds = gather_predictions(preds_local, 8)
+
 if pid == 0:
     np.savez(out, **{f"u8_{l}": acc_u8[l] for l in LAYERS},
-             **{f"f32_{l}": acc_f32[l] for l in LAYERS})
+             **{f"f32_{l}": acc_f32[l] for l in LAYERS},
+             train_losses=np.asarray(losses), eval_preds=np.asarray(preds))
 print(f"[worker {pid}] done", flush=True)

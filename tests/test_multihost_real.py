@@ -48,6 +48,10 @@ def real_2proc_results(tmp_path_factory):
     return np.load(out)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
 def _single_proc_reference():
     from mammodissect.data.probes import ArrayProbe
     from mammodissect.dissect.engine import harvest_probe
@@ -84,3 +88,36 @@ def test_real_2proc_f32_fallback_matches_single_process(real_2proc_results):
         got = real_2proc_results[f"f32_{l}"]
         assert got.shape == ref[l].shape
         np.testing.assert_allclose(got, ref[l], rtol=0, atol=2e-3)
+
+
+def test_real_2proc_training_matches_single_process(real_2proc_results):
+    """Two REAL distributed train steps: the global batch is assembled from each
+    host's local slice (global_batch_from_local) and gradients allreduce through
+    GSPMD. Loss step 1 checks batch assembly; loss step 2 also checks that step
+    1's update (and BN stats) were identical to a single-process run. The eval
+    prediction gather must return the full global batch."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammodissect.models.classifier import BreastClipClassifierModule
+    from mammodissect.train.trainer import Trainer, make_optimizer
+
+    module = BreastClipClassifierModule(variant="efficientnet-test", n_class=1)
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(0), jnp.ones((1, 32, 32, 1), jnp.float32))
+    variables = {"params": variables["params"],
+                 "batch_stats": variables.get("batch_stats", {})}
+    tx = make_optimizer(lr=1e-2, weight_decay=1e-4, warmup_steps=1, total_steps=10)
+    trainer = Trainer(module, variables, tx, loss_kind="bce", pos_weight=2.0)
+    rng = np.random.default_rng(7)
+    images = np.asarray(rng.normal(size=(8, 32, 32, 1)), np.float32)
+    labels = np.asarray(rng.integers(0, 2, size=(8,)), np.float32)
+    want_losses = [trainer.train_batch(images, labels) for _ in range(2)]
+    _, want_preds = trainer.eval_batch(images, labels)
+
+    got_losses = real_2proc_results["train_losses"]
+    np.testing.assert_allclose(got_losses, want_losses, rtol=2e-3, atol=2e-3)
+    got_preds = real_2proc_results["eval_preds"]
+    assert got_preds.shape == np.asarray(want_preds).shape
+    np.testing.assert_allclose(got_preds, np.asarray(want_preds),
+                               rtol=0, atol=2e-3)
