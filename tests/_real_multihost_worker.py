@@ -21,6 +21,10 @@ jax.config.update("jax_platforms", "cpu")
 jax.distributed.initialize(coordinator_address=f"localhost:{port}",
                            num_processes=nproc, process_id=pid)
 
+from tests._cpu_cache import enable as _enable_cache  # noqa: E402
+
+_enable_cache(jax)
+
 import numpy as np  # noqa: E402
 
 from mammodissect.data.probes import ArrayProbe  # noqa: E402
@@ -67,7 +71,9 @@ t_rng = np.random.default_rng(7)
 t_images = np.asarray(t_rng.normal(size=(8, 32, 32, 1)), np.float32)
 t_labels = np.asarray(t_rng.integers(0, 2, size=(8,)), np.float32)
 lo, hi = pid * 4, (pid + 1) * 4
-losses = [trainer.train_batch(t_images[lo:hi], t_labels[lo:hi]) for _ in range(2)]
+# 3 steps: warmup zeroes step 1's lr; the third loss proves step 2's
+# allreduced gradient update was applied identically on every host
+losses = [trainer.train_batch(t_images[lo:hi], t_labels[lo:hi]) for _ in range(3)]
 _, preds_local = trainer.eval_batch(t_images[lo:hi], t_labels[lo:hi])
 preds = gather_predictions(preds_local, 8)
 

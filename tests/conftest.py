@@ -23,31 +23,12 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 # Persistent compilation cache for the CPU test suite: e2e tests are compile-bound on
 # this 1-CPU host (round-1 suite ~35 min); caching makes every rerun start warm.
-# The dir is scoped by a CPU-feature fingerprint: $HOME can persist across driver
-# hosts with different CPUs, and loading a foreign host's CPU AOT executables risks
-# SIGILL (xla cpu_aot_loader warns exactly that) and numeric drift.
-import hashlib as _hashlib
+# Dir is CPU-feature-fingerprinted (tests/_cpu_cache.py) and shared with the
+# real-multihost worker subprocesses.
+from tests._cpu_cache import enable as _enable_test_cache, test_cache_dir as _tcd
 
-try:
-    with open("/proc/cpuinfo") as _f:
-        _flags = next(l for l in _f if l.startswith("flags"))
-except (OSError, StopIteration):
-    import platform as _platform
-
-    _flags = _platform.processor() or "unknown"
-_fp = _hashlib.sha1(_flags.encode()).hexdigest()[:10]
-_test_cache = os.path.join(os.path.expanduser("~"), ".cache", "mammodissect",
-                           f"xla-tests-{_fp}")
-# reclaim the pre-fingerprint cache dir (GBs of AOT entries, never read again)
-import shutil as _shutil
-
-_legacy = os.path.join(os.path.expanduser("~"), ".cache", "mammodissect", "xla-tests")
-if os.path.isdir(_legacy):
-    _shutil.rmtree(_legacy, ignore_errors=True)
-os.makedirs(_test_cache, exist_ok=True)
-jax.config.update("jax_compilation_cache_dir", _test_cache)
-jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
-jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+_test_cache = _tcd()
+_enable_test_cache(jax)
 
 
 import pytest as _pytest

@@ -90,6 +90,78 @@ def test_real_2proc_f32_fallback_matches_single_process(real_2proc_results):
         np.testing.assert_allclose(got, ref[l], rtol=0, atol=2e-3)
 
 
+def test_real_2proc_pretrain_and_collective_checkpoint(tmp_path):
+    """Contrastive pretrain steps under 2 REAL distributed processes: the global
+    batch (in-batch arange labels + i2i/t2t terms see the GLOBAL batch) is
+    assembled from per-host slices; then a COLLECTIVE orbax save — both
+    processes call it, orbax elects the writer — and a restore that must equal
+    the live params (asserted inside the worker). Here: worker success + loss
+    parity with a single-process run of the same global batch."""
+    import jax
+    import jax.numpy as jnp
+
+    out = str(tmp_path / "pre.npz")
+    ckpt_dir = str(tmp_path / "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__),
+                          "_real_multihost_pretrain_worker.py")
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(i), "2", str(port), out, ckpt_dir],
+        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+        for i in range(2)]
+    logs = []
+    for p in procs:
+        try:
+            stdout, _ = p.communicate(timeout=280)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("pretrain worker timed out")
+        logs.append(stdout)
+    for p, log in zip(procs, logs):
+        assert p.returncode == 0, log[-2000:]
+
+    # single-process reference: same module, same global batch, same keys
+    from mammodissect.models.breastclip import BreastClipModule
+    from mammodissect.parallel.mesh import make_mesh
+    from mammodissect.parallel.sharding import replicate_tree, shard_batch
+    from mammodissect.train.clip_trainer import jit_clip_train_step
+    from mammodissect.train.trainer import make_optimizer
+
+    module = BreastClipModule(image_variant="efficientnet-test", in_channels=1,
+                              bert_layers=1, bert_hidden=32, bert_heads=2,
+                              bert_intermediate=64, proj_dim=16, vocab_size=128)
+    rng = np.random.default_rng(3)
+    batch = {
+        "images": np.asarray(rng.normal(size=(8, 32, 32, 1)), np.float32),
+        "input_ids": np.asarray(rng.integers(1, 128, size=(8, 12)), np.int32),
+        "attention_mask": np.ones((8, 12), np.int32),
+    }
+    variables = jax.jit(module.init)(
+        jax.random.PRNGKey(0), {k: jnp.asarray(v) for k, v in batch.items()})
+    tx = make_optimizer(lr=1e-2, weight_decay=1e-4, warmup_steps=1, total_steps=10)
+    mesh = make_mesh(model_parallel=1)
+    with mesh:
+        step_fn = jit_clip_train_step(module, tx, mesh, tensor_parallel=False,
+                                      variables=variables)
+        params = replicate_tree(mesh, variables["params"])
+        stats = replicate_tree(mesh, variables["batch_stats"])
+        opt_state = tx.init(params)
+        want = []
+        for i in range(3):
+            db = shard_batch(mesh, {k: jnp.asarray(v) for k, v in batch.items()})
+            params, stats, opt_state, loss = step_fn(
+                params, stats, opt_state, db, jax.random.PRNGKey(1 + i))
+            want.append(float(loss))
+
+    got = np.load(out)["losses"]
+    np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
+    assert abs(got[2] - got[0]) > 1e-5  # step 2 ran at a real (post-warmup) lr
+
+
 def test_real_2proc_training_matches_single_process(real_2proc_results):
     """Two REAL distributed train steps: the global batch is assembled from each
     host's local slice (global_batch_from_local) and gradients allreduce through
@@ -112,12 +184,18 @@ def test_real_2proc_training_matches_single_process(real_2proc_results):
     rng = np.random.default_rng(7)
     images = np.asarray(rng.normal(size=(8, 32, 32, 1)), np.float32)
     labels = np.asarray(rng.integers(0, 2, size=(8,)), np.float32)
-    want_losses = [trainer.train_batch(images, labels) for _ in range(2)]
+    want_losses = [trainer.train_batch(images, labels) for _ in range(3)]
     _, want_preds = trainer.eval_batch(images, labels)
 
     got_losses = real_2proc_results["train_losses"]
     np.testing.assert_allclose(got_losses, want_losses, rtol=2e-3, atol=2e-3)
+    # the third loss must differ from the first: step 2 ran at a real lr, so a
+    # no-op gradient path (e.g. dropped allreduce) would show up here
+    assert abs(got_losses[2] - got_losses[0]) > 1e-5
     got_preds = real_2proc_results["eval_preds"]
     assert got_preds.shape == np.asarray(want_preds).shape
+    # 1e-2: after three update steps the per-step conv-algorithm noise (~1e-3)
+    # has compounded through the params; a row-placement bug in the prediction
+    # gather moves sigmoids by O(0.1-0.5)
     np.testing.assert_allclose(got_preds, np.asarray(want_preds),
-                               rtol=0, atol=2e-3)
+                               rtol=0, atol=1e-2)
