@@ -44,6 +44,18 @@ def _attach_mesh(obj, mesh):
     return obj
 
 
+def _atomic_np_save(path: str, arr) -> None:
+    """np.save via write-to-temp + os.replace. Two protections: a crash mid-write
+    cannot leave a torn .npy behind the skip-if-exists check, and concurrent
+    same-path writers — every process of a multi-host run saves the identical
+    allgathered arrays to a shared activation_dir — each land a complete file
+    instead of truncating one another (np.save opens the path 'wb' in place)."""
+    tmp = f"{path}.tmp.{os.getpid()}"
+    with open(tmp, "wb") as f:  # file handle: np.save must not append .npy
+        np.save(f, arr)
+    os.replace(tmp, path)
+
+
 def _round_batch(batch_size: int, mesh) -> int:
     """Round batch_size up to a multiple of the data-axis size (batches are padded to
     the full batch size already, so sharding only needs divisibility)."""
@@ -167,8 +179,8 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
                 acc, embs, n_images = _fused_harvest_embed(
                     dissector, probe, layers, cfg.pool_mode, bs)
                 for l in layers:
-                    np.save(target_paths[l], acc[l])
-                np.save(paths["clip"], embs)
+                    _atomic_np_save(target_paths[l], acc[l])
+                _atomic_np_save(paths["clip"], embs)
                 missing_layers, clip_missing = [], False
                 log(f"[fused] harvested {len(layers)} layers + embedded {n_images} "
                     f"images in one pass, {time.time()-t0:.1f}s")
@@ -189,7 +201,7 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
         t0 = time.time()
         acc, n_images = harvest_probe(target, probe, layers, cfg.pool_mode, bs)
         for l in layers:
-            np.save(target_paths[l], acc[l])
+            _atomic_np_save(target_paths[l], acc[l])
         log(f"[harvest] {n_images} images x {len(layers)} layers in {time.time()-t0:.1f}s")
     else:
         log("[harvest] all target activations cached, skipping")
@@ -227,7 +239,7 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
                 for j, i in enumerate(range(start, stop)):
                     imgs[j] = probe.image(i)
                 feats.append(dissector.embed_images(imgs)[: stop - start])
-        np.save(paths["clip"], np.concatenate(feats, axis=0))
+        _atomic_np_save(paths["clip"], np.concatenate(feats, axis=0))
         log(f"[clip-img] embedded D_probe in {time.time()-t0:.1f}s"
             + (" (u8 fast path)" if use_u8 else ""))
 
@@ -235,7 +247,7 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
     if not os.path.exists(paths["text"]):
         dissector = dissector or _make_dissector()
         words = read_concepts(cfg.concept_set)
-        np.save(paths["text"], dissector.embed_texts(words))
+        _atomic_np_save(paths["text"], dissector.embed_texts(words))
         log(f"[clip-txt] embedded {len(words)} concepts")
     return paths
 
@@ -348,9 +360,21 @@ def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
                 "multi-host f32-fallback harvest computes per-host results; "
                 "replacing the target's global mesh with the local data mesh")
             target.set_mesh(auto_data_mesh())
-    batch_size = _round_batch(batch_size, getattr(target, "mesh", None))
-    if n_procs > 1:
-        batch_size = max(batch_size // n_procs, 1)  # local slice of the global batch
+    mesh_now = getattr(target, "mesh", None)
+    if n_procs > 1 and use_u8:
+        # global-batch program: round the GLOBAL batch against the global mesh
+        # (a multiple of n_procs * local devices), then take the local slice —
+        # the division is exact by construction
+        batch_size = max(_round_batch(batch_size, mesh_now) // n_procs, 1)
+    elif n_procs > 1:
+        # per-host local programs: divide FIRST, then round against the local
+        # mesh — rounding the global batch and then dividing can leave a local
+        # batch that violates the local data-axis divisibility (e.g. 2 procs x
+        # 2 local devices, batch 6: round(6)=6, 6//2=3, and 3 rows cannot shard
+        # over 2 devices)
+        batch_size = _round_batch(max(batch_size // n_procs, 1), mesh_now)
+    else:
+        batch_size = _round_batch(batch_size, mesh_now)
     acc: Dict[str, list] = {l: [] for l in layers}
     n_images = 0
 

@@ -25,9 +25,8 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 # this 1-CPU host (round-1 suite ~35 min); caching makes every rerun start warm.
 # Dir is CPU-feature-fingerprinted (tests/_cpu_cache.py) and shared with the
 # real-multihost worker subprocesses.
-from tests._cpu_cache import enable as _enable_test_cache, test_cache_dir as _tcd
+from tests._cpu_cache import enable as _enable_test_cache
 
-_test_cache = _tcd()
 _enable_test_cache(jax)
 
 

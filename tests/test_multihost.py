@@ -176,6 +176,41 @@ def test_simulated_3proc_prewrapped_probe_keeps_total(monkeypatch):
     np.testing.assert_allclose(acc["blocks.0"], want["blocks.0"], rtol=0, atol=1e-6)
 
 
+def test_simulated_2proc_f32_local_batch_respects_local_mesh(monkeypatch):
+    """Regression: the f32 fallback must divide the global batch by process count
+    BEFORE rounding against the LOCAL mesh. The old order (round then divide)
+    produced a 3-row local batch on an 8-device data mesh — an XLA sharding crash
+    (axis 0 partitioned 8 times, dimension size 3)."""
+    import jax
+    from jax.experimental import multihost_utils
+
+    from mammodissect.data.probes import ArrayProbe
+    from mammodissect.dissect.engine import harvest_probe
+    from mammodissect.dissect.targets import get_target_model
+
+    n_images = 10
+    rng = np.random.default_rng(11)
+    imgs = np.asarray(rng.normal(size=(n_images, 32, 32, 1)), np.float32)
+    base = ArrayProbe(imgs)  # no mean/std: forces the f32 (non-u8) branch
+    layers = ["blocks.0"]
+    want, _ = harvest_probe(get_target_model("tiny_cnn"), base, layers, "avg", 6)
+
+    monkeypatch.setattr(jax, "process_count", lambda: 2)
+    monkeypatch.setattr(jax, "process_index", lambda: 0)
+    # tiled allgather stand-in: both "hosts" contribute this host's shard — rank 0's
+    # rows land where the real gather would put them; the duplicate tail is trimmed
+    monkeypatch.setattr(multihost_utils, "process_allgather",
+                        lambda x, tiled=True: np.concatenate(
+                            [np.asarray(x), np.asarray(x)], axis=0))
+    target = get_target_model("tiny_cnn")  # engine attaches the local 8-device mesh
+    acc, n = harvest_probe(target, base, layers, "avg", batch_size=6)
+    assert n == n_images
+    assert acc["blocks.0"].shape == want["blocks.0"].shape
+    # rank 0's shard is the first ceil(10/2)=5 probe rows, in order
+    np.testing.assert_allclose(acc["blocks.0"][:5], want["blocks.0"][:5],
+                               rtol=0, atol=1e-5)
+
+
 def test_resident_falls_back_to_staged_on_multihost(monkeypatch, tmp_path):
     """--resident on a real multi-host run (process_count > 1) must fall back to the
     staged path (per-host probe shards + allgather), not device_put host-local

@@ -23,28 +23,51 @@ def _free_port() -> int:
     return port
 
 
+def _run_workers(worker_name: str, extra_args, timeout: float = 600):
+    """Spawn 2 REAL jax.distributed worker processes and assert both exit 0.
+
+    timeout 600 s: a cold compile cache costs ~4 min on this 1-core host, so the
+    old 280 s bound failed fresh hosts spuriously. The free-port probe is
+    inherently TOCTOU (the socket closes before the coordinator binds), so a
+    bind collision retries once on a new port instead of dying opaquely."""
+    worker = os.path.join(os.path.dirname(__file__), worker_name)
+    env = dict(os.environ, JAX_PLATFORMS="cpu")
+    env.pop("XLA_FLAGS", None)  # worker sets its own 2-device count
+    for attempt in range(2):
+        port = _free_port()
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port), *extra_args],
+            env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
+            for i in range(2)]
+        logs = []
+        for p in procs:
+            try:
+                stdout, _ = p.communicate(timeout=timeout)
+            except subprocess.TimeoutExpired:
+                for q in procs:
+                    q.kill()
+                pytest.fail(f"real 2-process worker timed out after {timeout:.0f}s")
+            logs.append(stdout)
+        if all(p.returncode == 0 for p in procs):
+            return logs
+        # retry once on ANY failure: the coordinator port probe is TOCTOU and the
+        # distributed-init failure strings vary (bind / connect / UNAVAILABLE), and
+        # the workers themselves are deterministic — a genuine regression fails the
+        # retry too, with both attempts' logs in the report
+        if attempt == 0:
+            first_logs = logs
+            continue
+        for p, log in zip(procs, logs):
+            assert p.returncode == 0, (
+                f"--- retry log ---\n{log[-2000:]}\n"
+                f"--- first attempt ---\n{first_logs[procs.index(p)][-1000:]}")
+    return logs
+
+
 @pytest.fixture(scope="module")
 def real_2proc_results(tmp_path_factory):
     out = str(tmp_path_factory.mktemp("mh") / "res.npz")
-    port = _free_port()
-    worker = os.path.join(os.path.dirname(__file__), "_real_multihost_worker.py")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env.pop("XLA_FLAGS", None)  # worker sets its own 2-device count
-    procs = [subprocess.Popen([sys.executable, worker, str(i), "2", str(port), out],
-                              env=env, stdout=subprocess.PIPE,
-                              stderr=subprocess.STDOUT, text=True)
-             for i in range(2)]
-    logs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=280)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("real 2-process worker timed out")
-        logs.append(stdout)
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, log[-2000:]
+    _run_workers("_real_multihost_worker.py", [out])
     return np.load(out)
 
 
@@ -103,26 +126,7 @@ def test_real_2proc_pretrain_and_collective_checkpoint(tmp_path):
     out = str(tmp_path / "pre.npz")
     ckpt_dir = str(tmp_path / "ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
-    port = _free_port()
-    worker = os.path.join(os.path.dirname(__file__),
-                          "_real_multihost_pretrain_worker.py")
-    env = dict(os.environ, JAX_PLATFORMS="cpu")
-    env.pop("XLA_FLAGS", None)
-    procs = [subprocess.Popen(
-        [sys.executable, worker, str(i), "2", str(port), out, ckpt_dir],
-        env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
-        for i in range(2)]
-    logs = []
-    for p in procs:
-        try:
-            stdout, _ = p.communicate(timeout=280)
-        except subprocess.TimeoutExpired:
-            for q in procs:
-                q.kill()
-            pytest.fail("pretrain worker timed out")
-        logs.append(stdout)
-    for p, log in zip(procs, logs):
-        assert p.returncode == 0, log[-2000:]
+    _run_workers("_real_multihost_pretrain_worker.py", [out, ckpt_dir])
 
     # single-process reference: same module, same global batch, same keys
     from mammodissect.models.breastclip import BreastClipModule
