@@ -66,8 +66,11 @@ def _run_workers(worker_name: str, extra_args, timeout: float = 600):
 
 @pytest.fixture(scope="module")
 def real_2proc_results(tmp_path_factory):
-    out = str(tmp_path_factory.mktemp("mh") / "res.npz")
-    _run_workers("_real_multihost_worker.py", [out])
+    root = tmp_path_factory.mktemp("mh")
+    out = str(root / "res.npz")
+    ckpt_dir = str(root / "ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    _run_workers("_real_multihost_worker.py", [out, ckpt_dir])
     return np.load(out)
 
 
@@ -113,7 +116,7 @@ def test_real_2proc_f32_fallback_matches_single_process(real_2proc_results):
         np.testing.assert_allclose(got, ref[l], rtol=0, atol=2e-3)
 
 
-def test_real_2proc_pretrain_and_collective_checkpoint(tmp_path):
+def test_real_2proc_pretrain_and_collective_checkpoint(real_2proc_results):
     """Contrastive pretrain steps under 2 REAL distributed processes: the global
     batch (in-batch arange labels + i2i/t2t terms see the GLOBAL batch) is
     assembled from per-host slices; then a COLLECTIVE orbax save — both
@@ -122,11 +125,6 @@ def test_real_2proc_pretrain_and_collective_checkpoint(tmp_path):
     parity with a single-process run of the same global batch."""
     import jax
     import jax.numpy as jnp
-
-    out = str(tmp_path / "pre.npz")
-    ckpt_dir = str(tmp_path / "ckpt")
-    os.makedirs(ckpt_dir, exist_ok=True)
-    _run_workers("_real_multihost_pretrain_worker.py", [out, ckpt_dir])
 
     # single-process reference: same module, same global batch, same keys
     from mammodissect.models.breastclip import BreastClipModule
@@ -161,7 +159,7 @@ def test_real_2proc_pretrain_and_collective_checkpoint(tmp_path):
                 params, stats, opt_state, db, jax.random.PRNGKey(1 + i))
             want.append(float(loss))
 
-    got = np.load(out)["losses"]
+    got = real_2proc_results["pretrain_losses"]
     np.testing.assert_allclose(got, want, rtol=2e-3, atol=2e-3)
     assert abs(got[2] - got[0]) > 1e-5  # step 2 ran at a real (post-warmup) lr
 
