@@ -49,11 +49,22 @@ def _atomic_np_save(path: str, arr) -> None:
     cannot leave a torn .npy behind the skip-if-exists check, and concurrent
     same-path writers — every process of a multi-host run saves the identical
     allgathered arrays to a shared activation_dir — each land a complete file
-    instead of truncating one another (np.save opens the path 'wb' in place)."""
-    tmp = f"{path}.tmp.{os.getpid()}"
-    with open(tmp, "wb") as f:  # file handle: np.save must not append .npy
-        np.save(f, arr)
-    os.replace(tmp, path)
+    instead of truncating one another (np.save opens the path 'wb' in place).
+    The temp suffix must be unique ACROSS HOSTS (PIDs collide between hosts of a
+    multi-host run sharing one activation_dir), so it includes a random token; a
+    failed write unlinks its temp file instead of orphaning it in the cache dir."""
+    import contextlib
+    import uuid
+
+    tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
+    try:
+        with open(tmp, "wb") as f:  # file handle: np.save must not append .npy
+            np.save(f, arr)
+        os.replace(tmp, path)
+    except BaseException:
+        with contextlib.suppress(FileNotFoundError):
+            os.remove(tmp)
+        raise
 
 
 def _round_batch(batch_size: int, mesh) -> int:
@@ -116,6 +127,11 @@ class DissectConfig:
     # batch boundary once exceeded and the CSV covers the images harvested so far;
     # a rerun resumes from the spilled chunks and completes. None = unbounded.
     deadline_s: Optional[float] = None
+    # lossless wire packing for the resident harvest (dissect/packing.py): "auto"
+    # samples the probe and packs when the packed fraction is <= 0.85 (mammograms
+    # are ~40-60% exactly-black background), "on"/"off" force it. Reconstruction is
+    # bit-identical, so results are unchanged; only the host->device bytes shrink.
+    wire_pack: str = "auto"
 
 
 def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None,
@@ -545,10 +561,17 @@ class _ChunkSpiller:
         self._q.put(("partial", chunk_index, acc_a, acc_e, offset, n_images))
 
     def _save_atomic(self, path: str, writer):
+        import contextlib
+
         tmp = path + ".tmp"
-        with open(tmp, "wb") as f:  # file handle: np.save must not append .npy
-            writer(f)
-        os.replace(tmp, path)  # atomic: no torn chunks on kill
+        try:
+            with open(tmp, "wb") as f:  # file handle: np.save must not append .npy
+                writer(f)
+            os.replace(tmp, path)  # atomic: no torn chunks on kill
+        except BaseException:
+            with contextlib.suppress(FileNotFoundError):
+                os.remove(tmp)  # don't orphan temp files in the cache dir
+            raise
 
     def _run(self):
         while True:

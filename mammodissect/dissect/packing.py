@@ -1,0 +1,138 @@
+"""Lossless uint8 wire packing for the dissection harvest.
+
+The measured harvest is >=98% wire on this environment's relay (docs/PERF.md r3:
+put_s + sync_s = 98%+ of harvest wall), and the workload's probe images are
+mammograms — 1520x912 grayscale with ~40-60% exactly-black background
+(`concept_vit/data_utils.py:120-122`; the breast occupies one side of the frame).
+Raw uint8 already crosses at 1.39 MB/image; the only remaining lever on the wire
+is to NOT send the zeros.
+
+Scheme (lossless, shape-static, XLA-friendly):
+  host   per image, per ROW: the [first, last] span of nonzero pixels
+         (start[H], length[H] int32). The spans' bytes are packed contiguously,
+         batch-row-major, into ONE flat uint8 buffer; per-row metadata is
+         [B, H, 2] int32 (start, length) — ~0.9% of a full frame.
+  device inside the jit, reconstruct the [B, H, W, C] canvas with one gather:
+         row offsets = cumsum(length * C) (matches the host packing order by
+         construction), idx = rowoff + (x - start) * C + c, pixels outside the
+         span are exactly zero — bit-identical to the original image, so the
+         downstream min-max + mean/std normalization and the conv tower see the
+         same bytes and the >=99% top-concept agreement contract is untouched.
+
+Row spans beat a bounding-box crop on this content: an MLO-view breast is a
+diagonal half-ellipse, so per-row spans track the curve (~fill-fraction bytes)
+while a bbox pays the full rectangle (~1.27x the ellipse area).
+
+The flat buffer's length is rounded up to a bucket (multiples of
+`quantum` = full_bytes/16 by default) so the compiled step program has a static
+input shape and at most 16 variants exist; a stable probe hits 1-2. Padding
+bytes are wasted wire (<= 1/16 of a full frame per batch) — still far below the
+40-60% saved.
+
+The scheme degrades gracefully: an image with no zero background packs to the
+full frame (bucket = cap), costing only the metadata. `sample_pack_fraction`
+lets callers auto-disable packing for dense probes.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+
+
+def row_spans(img_u8: np.ndarray) -> Tuple[np.ndarray, np.ndarray]:
+    """Per-row [first, last] nonzero span of one [H, W, C] uint8 image.
+
+    Returns (start[H] int32, length[H] int32); all-zero rows get length 0."""
+    nz = img_u8.any(axis=-1) if img_u8.ndim == 3 else img_u8 != 0  # [H, W]
+    any_row = nz.any(axis=1)
+    first = nz.argmax(axis=1).astype(np.int32)
+    last = (nz.shape[1] - 1 - nz[:, ::-1].argmax(axis=1)).astype(np.int32)
+    start = np.where(any_row, first, 0).astype(np.int32)
+    length = np.where(any_row, last - first + 1, 0).astype(np.int32)
+    return start, length
+
+
+def packed_nbytes(meta: np.ndarray, channels: int) -> int:
+    """Exact packed payload size for span metadata [..., H, 2]."""
+    return int(meta[..., 1].astype(np.int64).sum()) * channels
+
+
+def pack_image(img_u8: np.ndarray, start: np.ndarray, length: np.ndarray) -> np.ndarray:
+    """Pack one [H, W, C] image's row spans into a flat row-major uint8 vector."""
+    h, w = img_u8.shape[:2]
+    x = np.arange(w, dtype=np.int32)
+    keep = (x[None, :] >= start[:, None]) & (x[None, :] < (start + length)[:, None])
+    return img_u8[keep].reshape(-1)  # [sum(length) * C]
+
+
+def pack_batch(u8: np.ndarray, spans=None) -> Tuple[np.ndarray, np.ndarray]:
+    """Pack a [B, H, W, C] uint8 batch.
+
+    spans: optional per-image precomputed (start, length) tuples (e.g. a cyclic
+    bench pool computes them once per pool image).
+
+    Returns (flat uint8 [L_exact], meta int32 [B, H, 2])."""
+    b, h, _, _ = u8.shape
+    meta = np.zeros((b, h, 2), np.int32)
+    parts = []
+    for i in range(b):
+        start, length = spans[i] if spans is not None else row_spans(u8[i])
+        meta[i, :, 0] = start
+        meta[i, :, 1] = length
+        parts.append(pack_image(u8[i], start, length))
+    flat = np.concatenate(parts) if parts else np.zeros((0,), np.uint8)
+    return flat, meta
+
+
+def bucket_len(n_exact: int, quantum: int, cap: int) -> int:
+    """Static-shape bucket for a flat payload: round up to a `quantum` multiple,
+    never above `cap` (= the raw full-frame batch size — packing can't lose)."""
+    q = max(int(quantum), 1)
+    return int(min(max(((n_exact + q - 1) // q) * q, q), cap))
+
+
+def pad_flat(flat: np.ndarray, n_bucket: int) -> np.ndarray:
+    out = np.zeros((n_bucket,), np.uint8)
+    out[: flat.shape[0]] = flat
+    return out
+
+
+def sample_pack_fraction(probe, k: int = 4) -> float:
+    """Estimate packed-wire fraction (payload + metadata vs raw) from up to k evenly
+    spaced probe images. ~1.0 for dense images, ~fill-fraction for mammograms."""
+    n = len(probe)
+    if n == 0:
+        return 1.0
+    h, w, c = probe.image_shape
+    idxs = sorted({int(i) for i in np.linspace(0, n - 1, num=min(k, n))})
+    raw = h * w * c
+    fracs = []
+    for i in idxs:
+        img = probe.image_u8(i)
+        _, length = probe.image_spans(i) if hasattr(probe, "image_spans") \
+            else row_spans(img)
+        fracs.append((int(length.sum()) * c + h * 2 * 4) / raw)
+    return float(np.mean(fracs))
+
+
+def unpack_canvas(flat_u8, meta, shape):
+    """Device-side reconstruction (call INSIDE a jit): one gather from the packed
+    buffer back to the [B, H, W, C] uint8 canvas, bit-identical to the original.
+
+    flat_u8: [L] uint8 (bucket-padded), meta: [B, H, 2] int32 (start, length)."""
+    import jax.numpy as jnp
+
+    b, h, w, c = shape
+    start = meta[..., 0]  # [B, H]
+    length = meta[..., 1]
+    row_bytes = (length * c).reshape(-1)  # [B*H], batch-row-major = host pack order
+    rowoff = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_bytes)[:-1].astype(jnp.int32)]
+    ).reshape(b, h)
+    x = jnp.arange(w, dtype=jnp.int32)[None, None, :]  # [1, 1, W]
+    inside = (x >= start[:, :, None]) & (x < (start + length)[:, :, None])  # [B,H,W]
+    base = rowoff[:, :, None] + (x - start[:, :, None]) * c  # [B, H, W]
+    idx = base[..., None] + jnp.arange(c, dtype=jnp.int32)  # [B, H, W, C]
+    vals = jnp.take(flat_u8, jnp.clip(idx, 0, flat_u8.shape[0] - 1))
+    return jnp.where(inside[..., None], vals, jnp.uint8(0))

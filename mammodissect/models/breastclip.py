@@ -424,6 +424,95 @@ class BreastClip:
             self._jit_cache[key] = (jstep, names, widths)
         return self._jit_cache[key]
 
+    def fused_resident_step_packed(self, sample_shape, flat_len: int, layers,
+                                   pool_mode: str, mean: float, std: float):
+        """Packed-wire variant of `fused_resident_step` (see dissect/packing.py).
+
+        The harvest is >=98% wire on the measured e2e path and mammography probes
+        are ~40-60% exactly-black background, so the uint8 batch crosses the relay
+        as (flat packed row-spans [flat_len] u8, span metadata [B, H, 2] i32) and is
+        reconstructed to the bit-identical [B, H, W, C] canvas by one in-jit gather
+        before the same normalize + forward + accumulate as the unpacked step.
+        `flat_len` is a static bucket size (one compile per bucket).
+
+        Returns (step, names, widths) where
+          step(variables, acc_acts, acc_emb, flat_u8, meta, offset)."""
+        from mammodissect.dissect.capture import canonical_layer_name, layer_index
+        from mammodissect.dissect.packing import unpack_canvas
+
+        canon = [canonical_layer_name(l) for l in layers]
+        capture = tuple(sorted({layer_index(c) for c in canon}))
+        shape = tuple(sample_shape)
+        key = ("resident_step_packed", capture, pool_mode, shape, int(flat_len),
+               float(mean), float(std))
+        if key not in self._jit_cache:
+
+            def raw(v, flat_u8, meta):
+                u8 = unpack_canvas(flat_u8, meta, shape)
+                x = u8.astype(jnp.float32) / 255.0
+                lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
+                hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+                x = jnp.where(hi > lo, (x - lo) / (hi - lo), 0.0)
+                x = (x - mean) / std
+                pooled, captured = self.module.apply(
+                    v, x, train=False, capture=capture, pool_mode=pool_mode,
+                    method=BreastClipModule.encode_image,
+                )
+                emb = self.module.apply(v, pooled, method=BreastClipModule.project_image)
+                return captured, emb
+
+            flat_spec = jax.ShapeDtypeStruct((int(flat_len),), jnp.uint8)
+            meta_spec = jax.ShapeDtypeStruct((shape[0], shape[1], 2), jnp.int32)
+            shapes, _ = jax.eval_shape(raw, self.variables, flat_spec, meta_spec)
+            names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
+            widths = tuple(int(shapes[k].shape[-1]) for k in names)
+
+            def step(v, acc_acts, acc_emb, flat_u8, meta, offset):
+                captured, emb = raw(v, flat_u8, meta)
+                packed = jnp.concatenate(
+                    [captured[k].astype(jnp.float32) for k in names], axis=-1
+                )
+                acc_acts = jax.lax.dynamic_update_slice(acc_acts, packed, (offset, 0))
+                acc_emb = jax.lax.dynamic_update_slice(
+                    acc_emb, emb.astype(jnp.float32), (offset, 0)
+                )
+                return acc_acts, acc_emb
+
+            rep, _dat = self._batch_shardings()
+            if rep is None:
+                jstep = jax.jit(step, donate_argnums=(1, 2))
+            else:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+
+                from mammodissect.parallel.mesh import DATA_AXIS
+
+                rows = NamedSharding(self.mesh, P(DATA_AXIS, None))
+                # the flat packed buffer has ragged per-image boundaries, so it
+                # stays replicated (it's the COMPRESSED payload — cheap) while the
+                # metadata shards by batch; the gather from a replicated operand
+                # with batch-sharded indices needs no collectives
+                meta_sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+                jstep = jax.jit(
+                    step,
+                    in_shardings=(rep, rows, rows, rep, meta_sh, rep),
+                    out_shardings=(rows, rows),
+                    donate_argnums=(1, 2),
+                )
+            self._jit_cache[key] = (jstep, names, widths)
+        return self._jit_cache[key]
+
+    def resident_packed_put_shardings(self):
+        """(flat_sharding, meta_sharding) for packed-wire device_puts under this
+        model's mesh, or (None, None) single-device."""
+        rep, _dat = self._batch_shardings()
+        if rep is None:
+            return None, None
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from mammodissect.parallel.mesh import DATA_AXIS
+
+        return rep, NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+
     def resident_accumulator_shardings(self):
         """(row_sharding, u8_sharding) for resident accumulators under this model's
         mesh, or (None, None) single-device."""

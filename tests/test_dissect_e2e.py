@@ -111,6 +111,29 @@ def test_e2e_against_manual_pipeline(tmp_path, concept_file):
     assert got_top1 == want_top1
 
 
+def test_rank_reorder_divergence_stamped_in_args(tmp_path, concept_file):
+    """rank_reorder's documented divergences from the reference (clamped negative
+    avg_clip, seeded permutation RNG) must be visible in the run artifact itself —
+    downstream consumers of the CSV read args.txt, not docs/PARITY.md."""
+    import json
+
+    cfg = make_cfg(tmp_path, concept_file, similarity_fn="rank_reorder",
+                   target_layers=["blocks.0"])
+    _, csv_path = run_dissection(cfg, log=lambda *a: None)
+    with open(csv_path.replace(".csv", "_args.txt")) as f:
+        args = json.load(f)
+    note = args["similarity_fn_divergence_note"]
+    assert "clamp" in note and "seeded" in note.lower()
+
+    # other similarity fns carry no note (nothing diverges)
+    cfg2 = make_cfg(tmp_path, concept_file, similarity_fn="cos_similarity",
+                    target_layers=["blocks.0"],
+                    result_dir=str(tmp_path / "results2"))
+    _, csv_path2 = run_dissection(cfg2, log=lambda *a: None)
+    with open(csv_path2.replace(".csv", "_args.txt")) as f:
+        assert "similarity_fn_divergence_note" not in json.load(f)
+
+
 def test_pool_mode_changes_cache_name(tmp_path, concept_file):
     from mammodissect.dissect.engine import get_save_names
 

@@ -23,13 +23,39 @@ def _free_port() -> int:
     return port
 
 
+# distributed-init failure signatures that justify a port-collision retry: the
+# free-port probe is inherently TOCTOU (the socket closes before the coordinator
+# binds), and jax/grpc spell the resulting failures several ways
+_INIT_FAILURE_SIGNATURES = (
+    "address already in use",
+    "failed to bind",
+    "bind address",
+    "failed to connect",
+    "connection refused",
+    "unavailable",
+    "deadline exceeded",
+    "coordination service",
+)
+
+
+def _is_init_failure(log: str) -> bool:
+    low = log.lower()
+    return any(sig in low for sig in _INIT_FAILURE_SIGNATURES)
+
+
 def _run_workers(worker_name: str, extra_args, timeout: float = 600):
     """Spawn 2 REAL jax.distributed worker processes and assert both exit 0.
 
-    timeout 600 s: a cold compile cache costs ~4 min on this 1-core host, so the
-    old 280 s bound failed fresh hosts spuriously. The free-port probe is
-    inherently TOCTOU (the socket closes before the coordinator binds), so a
-    bind collision retries once on a new port instead of dying opaquely."""
+    timeout 600 s SHARED across both reaps (a hang in worker 2 must not double the
+    wall): a cold compile cache costs ~4 min on this 1-core host, so the old 280 s
+    bound failed fresh hosts spuriously. A failed first attempt retries once on a
+    new port ONLY when the logs carry a distributed-init signature (bind/connect/
+    UNAVAILABLE — the TOCTOU port probe); any other nonzero exit fails immediately
+    with the first attempt's logs, so a nondeterministic real bug can't turn the
+    suite green by passing on retry."""
+    import time
+    import warnings
+
     worker = os.path.join(os.path.dirname(__file__), worker_name)
     env = dict(os.environ, JAX_PLATFORMS="cpu")
     env.pop("XLA_FLAGS", None)  # worker sets its own 2-device count
@@ -40,27 +66,35 @@ def _run_workers(worker_name: str, extra_args, timeout: float = 600):
             env=env, stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True)
             for i in range(2)]
         logs = []
+        deadline = time.monotonic() + timeout
         for p in procs:
             try:
-                stdout, _ = p.communicate(timeout=timeout)
+                stdout, _ = p.communicate(timeout=max(deadline - time.monotonic(), 1.0))
             except subprocess.TimeoutExpired:
                 for q in procs:
                     q.kill()
+                for q in procs:  # reap: drain pipe buffers, no zombies
+                    try:
+                        q.communicate(timeout=10)
+                    except subprocess.TimeoutExpired:
+                        pass
                 pytest.fail(f"real 2-process worker timed out after {timeout:.0f}s")
             logs.append(stdout)
         if all(p.returncode == 0 for p in procs):
+            if attempt == 1:
+                warnings.warn(
+                    "real 2-process workers passed only on the port-collision retry "
+                    "(first attempt logs carried a distributed-init signature)")
             return logs
-        # retry once on ANY failure: the coordinator port probe is TOCTOU and the
-        # distributed-init failure strings vary (bind / connect / UNAVAILABLE), and
-        # the workers themselves are deterministic — a genuine regression fails the
-        # retry too, with both attempts' logs in the report
-        if attempt == 0:
+        failed_logs = [l for p, l in zip(procs, logs) if p.returncode != 0]
+        if attempt == 0 and any(_is_init_failure(l) for l in failed_logs):
             first_logs = logs
             continue
+        detail = "" if attempt == 0 else (
+            "\n--- first attempt (init failure) ---\n"
+            + "\n".join(l[-1000:] for l in first_logs))
         for p, log in zip(procs, logs):
-            assert p.returncode == 0, (
-                f"--- retry log ---\n{log[-2000:]}\n"
-                f"--- first attempt ---\n{first_logs[procs.index(p)][-1000:]}")
+            assert p.returncode == 0, f"--- worker log ---\n{log[-2500:]}{detail}"
     return logs
 
 
