@@ -63,10 +63,12 @@ T_PROC = time.monotonic() - _process_age_s()
 class CyclicProbe:
     """10k-image probe backed by a smaller unique pool (host-RAM bound: 10k full-res
     grayscale images are 13.9 GB). Every image still crosses the relay as its own
-    uint8 upload — transport and compute are measured honestly."""
+    uint8 upload — transport and compute are measured honestly. Per-pool-image row
+    spans are precomputed once so the packed-wire path doesn't rescan cyclic repeats."""
 
-    def __init__(self, pool: np.ndarray, n: int, mean: float, std: float):
+    def __init__(self, pool: np.ndarray, n: int, mean: float, std: float, spans=None):
         self.pool, self.n, self.mean, self.std = pool, n, mean, std
+        self._spans = spans
 
     def __len__(self):
         return self.n
@@ -77,6 +79,48 @@ class CyclicProbe:
 
     def image_u8(self, i: int) -> np.ndarray:
         return self.pool[i % len(self.pool)]
+
+    def image_spans(self, i: int):
+        if self._spans is None:
+            from mammodissect.dissect.packing import row_spans
+
+            return row_spans(self.pool[i % len(self.pool)])
+        return self._spans[i % len(self.pool)]
+
+
+def make_mammo_pool(pool_n: int, h: int, w: int):
+    """Synthetic pool matching the real workload's content envelope: mammograms are
+    ~40-60% exactly-black background with the breast attached to one lateral edge
+    (`concept_vit/data_utils.py:120-122`; VinDr/CSAW/EMBED PNGs). Round 1-3 pools
+    were full-frame noise — unrepresentatively DENSE: the packed-wire path (the
+    round-4 harvest lever) is content-dependent, so the pool must carry the real
+    sparsity. Each image: a half-ellipse breast region (random size/side/center)
+    filled with os.urandom texture (numpy RNG is ~4 MB/s on this 1-vCPU host;
+    the kernel CSPRNG sustains ~240 MB/s — see docs/PERF.md r3).
+
+    Returns (pool [n, h, w, 1] u8, spans list, fill_fraction)."""
+    from mammodissect.dissect.packing import row_spans
+
+    rng = np.random.default_rng(0)  # mask geometry: tiny arrays, determinism is free
+    pool = np.empty((pool_n, h, w, 1), np.uint8)
+    ds = 8  # masks computed at 1/8 resolution (1520, 912 are both divisible)
+    hh, ww = h // ds, w // ds
+    yy = (np.arange(hh) + 0.5) / hh
+    xx = (np.arange(ww) + 0.5) / ww
+    spans = []
+    filled = 0
+    for i in range(pool_n):
+        cy = rng.uniform(0.35, 0.65)
+        ry = rng.uniform(0.45, 0.58)
+        rx = rng.uniform(0.55, 0.75)
+        dx = xx if rng.integers(2) == 0 else 1.0 - xx  # breast on left or right edge
+        m = ((yy[:, None] - cy) / ry) ** 2 + (dx[None, :] / rx) ** 2 <= 1.0
+        mask = np.repeat(np.repeat(m, ds, axis=0), ds, axis=1)
+        tex = np.frombuffer(os.urandom(h * w), np.uint8).reshape(h, w)
+        pool[i, :, :, 0] = tex * mask
+        spans.append(row_spans(pool[i]))
+        filled += int(mask.sum())
+    return pool, spans, filled / (pool_n * h * w)
 
 
 def note(msg):
@@ -265,7 +309,9 @@ def summarize_timing(timing, tail_n=64):
         return {}
     def agg(rows):
         out = {}
-        for k in ("assemble_s", "put_s", "step_s", "sync_s"):
+        for k in ("assemble_s", "put_s", "step_s", "sync_s", "wire_bytes"):
+            if k not in rows[0]:
+                continue
             v = np.array([r[k] for r in rows])
             out[k] = {"mean": round(float(v.mean()), 4),
                       "p90": round(float(np.percentile(v, 90)), 4),
@@ -282,14 +328,20 @@ def main():
     import jax
     import jax.numpy as jnp
 
+    if os.environ.get("BENCH_PLATFORM"):  # test-only: e.g. cpu logic smoke
+        jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
     from mammodissect.dissect.dissectors import get_dissector
     from mammodissect.dissect.engine import (
         fused_harvest_embed_resident,
         score_resident,
     )
 
-    h, w = 1520, 912
-    batch_size = 64
+    # BENCH_IMAGE_H/W are test-only shrink knobs; the published number always runs
+    # the canonical 1520x912 workload (the driver sets no overrides)
+    h = int(os.environ.get("BENCH_IMAGE_H", 1520))
+    w = int(os.environ.get("BENCH_IMAGE_W", 912))
+    batch_size = int(os.environ.get("BENCH_BATCH_SIZE", 64))
     n_images = int(os.environ.get("BENCH_N_IMAGES", 10_000))
     sync_every = int(os.environ.get("BENCH_SYNC_EVERY", 4))
     # the r02 driver kill landed at ~29m43s after start => budget ~30 min; keep a
@@ -312,21 +364,36 @@ def main():
         "breastclip", image_shape=(h, w, 1), bert_layers=12, dtype=jnp.bfloat16
     )
 
-    note("generating pool")
+    note("generating pool (mammogram-shaped: ~40-60% black background)")
     PROGRESS["stage"] = "pool"
-    # os.urandom, NOT numpy RNG: this host's single throttled core generates PCG64
-    # bytes at ~4 MB/s (1.4 GB pool = ~6 min of the deadline budget) while the
-    # kernel CSPRNG sustains ~240 MB/s. Pixel content never affects the measured
-    # transport/compute path, so seeded determinism buys nothing here.
-    pool = np.frombuffer(os.urandom(pool_n * h * w), np.uint8).reshape(pool_n, h, w, 1)
+    pool, pool_spans, fill_fraction = make_mammo_pool(pool_n, h, w)
+    note(f"pool fill fraction {fill_fraction:.3f}")
+
+    # packed-wire bucket: ONE static flat length covering every batch of the run
+    # (batches cycle the pool in order, so the per-batch payload is precomputable) —
+    # a single compile instead of one per quantum bucket
+    per_img_bytes = np.array([int(s[1].sum()) for s in pool_spans], np.int64)
+    # max payload over EVERY cyclic window of batch_size pool images (covers any
+    # batch alignment, including pool sizes not divisible by the batch)
+    reps = int(np.ceil((len(per_img_bytes) + batch_size) / len(per_img_bytes)))
+    cyc = np.tile(per_img_bytes, reps)[: len(per_img_bytes) + batch_size]
+    cs = np.concatenate([[0], np.cumsum(cyc)])
+    max_payload = int((cs[batch_size:] - cs[:-batch_size]).max())
+    pack_fixed_len = int(((max_payload + (1 << 20) - 1) >> 20) << 20)
+    raw_batch_bytes = batch_size * h * w
+    note(f"packed bucket {pack_fixed_len / 1e6:.1f} MB vs raw {raw_batch_bytes / 1e6:.1f} MB")
     PROGRESS["stage"] = "warmup_compile"
 
-    # warmup/compile: one chunk's worth through the resident step (the step program is
-    # probe-size independent — fixed-capacity chunks), includes remote-compile warmup
+    # warmup/compile: one chunk's worth through the PACKED resident step (the step
+    # program is probe-size independent — fixed-capacity chunks; the warm batch is
+    # the run's first pool batch so it compiles the run's exact bucket), includes
+    # remote-compile warmup
     note("warmup/compile")
-    warm = CyclicProbe(pool, batch_size, mean, std)
+    warm = CyclicProbe(pool, batch_size, mean, std, spans=pool_spans)
     t0 = time.perf_counter()
-    _, we, *_ = fused_harvest_embed_resident(dissector, warm, layers, "avg", batch_size)
+    _, we, *_ = fused_harvest_embed_resident(dissector, warm, layers, "avg", batch_size,
+                                             wire_pack="on",
+                                             pack_fixed_len=pack_fixed_len)
     _ = np.asarray(we[-1][0, :1])  # sync: remote compile completes asynchronously
     vocab = int(dissector.module.vocab_size)
     dissector.embed_tokens(
@@ -352,8 +419,30 @@ def main():
                             jnp.int32((i % 16) * batch_size))
     _ = np.asarray(acc_e[0, :1])
     chip_side_rate = n_chip_batches * batch_size / (time.perf_counter() - t0)
-    del acc_a, acc_e, u8_dev
+    del u8_dev
     note(f"chip-side forward+embed: {chip_side_rate:.1f} img/s")
+
+    # chip-side rate of the PACKED step (device-resident flat+meta, no wire): the
+    # in-jit gather reconstruction's compute cost, measured not assumed
+    from mammodissect.dissect.packing import pack_batch, pad_flat
+
+    step_p, *_ = dissector.fused_resident_step_packed(
+        (batch_size, h, w, 1), pack_fixed_len, layers, "avg", mean, std)
+    flat_np, meta_np = pack_batch(pool[:batch_size],
+                                  spans=pool_spans[:batch_size])
+    flat_dev = jax.device_put(pad_flat(flat_np, pack_fixed_len))
+    meta_dev = jax.device_put(meta_np)
+    acc_a, acc_e = step_p(dissector.variables, acc_a, acc_e, flat_dev, meta_dev,
+                          jnp.int32(0))
+    _ = np.asarray(acc_e[0, :1])
+    t0 = time.perf_counter()
+    for i in range(n_chip_batches):
+        acc_a, acc_e = step_p(dissector.variables, acc_a, acc_e, flat_dev, meta_dev,
+                              jnp.int32((i % 16) * batch_size))
+    _ = np.asarray(acc_e[0, :1])
+    chip_side_packed_rate = n_chip_batches * batch_size / (time.perf_counter() - t0)
+    del acc_a, acc_e, flat_dev, meta_dev
+    note(f"chip-side packed forward+embed: {chip_side_packed_rate:.1f} img/s")
     partial_record(stage="warmup_done", compile_s=round(compile_s, 1),
                    chip_side_forward_img_per_s=round(float(chip_side_rate), 1),
                    elapsed_s=round(time.monotonic() - T_PROC, 1))
@@ -364,8 +453,25 @@ def main():
     PROGRESS["stage"] = "harvest"
     note(f"timed harvest of {n_images} "
          f"(budget {harvest_deadline - time.monotonic():.0f}s)")
-    probe = CyclicProbe(pool, n_images, mean, std)
-    cache_key = f"bench_{n_images}x{h}x{w}_b{batch_size}"
+    probe = CyclicProbe(pool, n_images, mean, std, spans=pool_spans)
+    cache_key = f"bench_{n_images}x{h}x{w}_b{batch_size}_pk"
+    # CACHE-CLEAN published number (VERDICT r3 weak #1): the r03 capture resumed
+    # 3,024 images from a stale partial cache, shrinking the upload and dodging the
+    # relay's deepest throttle tier. Wipe EVERYTHING under this run's cache_key —
+    # complete chunks AND partials — before the timed harvest; the in-run spill
+    # stays (crash resumability for the watchdog record), but the published rate
+    # always covers every image over the wire THIS run.
+    import glob as _glob
+
+    wiped = 0
+    for p in _glob.glob(os.path.join(cache_dir, f"{cache_key}_*")):
+        try:
+            os.remove(p)
+            wiped += 1
+        except OSError:
+            pass
+    if wiped:
+        note(f"wiped {wiped} stale cache files for a clean-cache measurement")
     timing: list = []
 
     last = {"n": 0, "t": time.perf_counter()}
@@ -410,12 +516,11 @@ def main():
         dissector, probe, layers, "avg", batch_size, sync_every=sync_every,
         log=harvest_log, cache_dir=cache_dir, cache_key=cache_key,
         deadline=harvest_deadline, timing=timing,
+        wire_pack="on", pack_fixed_len=pack_fixed_len,
     )
     if not timing and n_seen:
-        # a previous run's cache fully covered the probe: nothing was measured.
-        # Delete only THIS run's cache_key files (the dir may hold other runs'
-        # resumable chunks) and re-harvest within the remaining budget — the
-        # published rate must come from THIS run's transport+compute, not disk.
+        # belt-and-braces: the upfront wipe should make this unreachable, but the
+        # published rate must NEVER come from disk — re-wipe and re-harvest
         import glob
 
         note("cache fully covers the probe; re-measuring with a fresh harvest")
@@ -429,6 +534,7 @@ def main():
             dissector, probe, layers, "avg", batch_size, sync_every=sync_every,
             log=harvest_log, cache_dir=cache_dir, cache_key=cache_key,
             deadline=harvest_deadline, timing=timing,
+            wire_pack="on", pack_fixed_len=pack_fixed_len,
         )
     _ = np.asarray(emb_chunks[-1][0, :1])  # final sync
     harvest_s = time.perf_counter() - t0
@@ -476,8 +582,10 @@ def main():
     # tests/test_fused_dissect.py asserts sharded==single-device), scoring is one
     # segmented SPMD program.
     per_chip_images = 10_000 / 8  # the north-star workload, regardless of BENCH_N_IMAGES
-    per_chip_upload_s = per_chip_images * (h * w) / (50e6)
-    per_chip_compute_s = per_chip_images / chip_side_rate
+    wire_bytes_total = int(sum(t.get("wire_bytes", 0) for t in timing))
+    wire_per_image = wire_bytes_total / max(n_fresh, 1)
+    per_chip_upload_s = per_chip_images * wire_per_image / (50e6)
+    per_chip_compute_s = per_chip_images / min(chip_side_rate, chip_side_packed_rate)
     v5e8_s = max(per_chip_upload_s, per_chip_compute_s) + text_s + score_s
     result = {
         "metric": "dissect_images_per_sec_per_chip",
@@ -487,6 +595,12 @@ def main():
         "detail": {
             "n_images_measured": n_seen,
             "n_images_resumed_from_cache": n_resumed,
+            "wire_pack": True,
+            "wire_bytes_total": wire_bytes_total,
+            "wire_fraction_of_raw": round(wire_per_image / (h * w), 4),
+            "pool_fill_fraction": round(float(fill_fraction), 4),
+            "pack_fixed_len": pack_fixed_len,
+            "chip_side_packed_forward_img_per_s": round(float(chip_side_packed_rate), 1),
             "deadline_s": deadline_s,
             "deadline_hit": n_seen < n_images,
             "harvest_s": round(harvest_s, 1),

@@ -60,6 +60,11 @@ def build_parser() -> argparse.ArgumentParser:
                    help="wall-clock budget for a --resident run: stop the harvest "
                         "at the next batch boundary, score what was harvested, and "
                         "resume from the spilled chunks on the next invocation")
+    p.add_argument("--wire_pack", choices=("auto", "on", "off"), default="auto",
+                   help="lossless packed uint8 wire for the --resident harvest: "
+                        "send per-row nonzero spans instead of full frames "
+                        "(mammograms are ~40-60%% black background); 'auto' samples "
+                        "the probe and packs when it saves >=15%%")
     p.add_argument("--wandb", action="store_true",
                    help="log run config + status events to wandb (offline mode), "
                         "mirroring the reference driver's status stream "
@@ -105,6 +110,7 @@ def main(argv=None):
         dissector_kwargs=json.loads(args.dissector_kwargs),
         resident=args.resident,
         deadline_s=args.deadline_s,
+        wire_pack=args.wire_pack,
     )
     if args.debug_nans:
         from mammodissect.utils.profiling import enable_debug_nans

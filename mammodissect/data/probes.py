@@ -77,6 +77,13 @@ class HostShardedProbe(Probe):
     def image_u8(self, i):
         return self.base.image_u8(self._base_index(i))
 
+    def image_spans(self, i):
+        # only exposed when the base probe has precomputed spans (packed wire);
+        # indices remap to the shard like every other accessor
+        if not hasattr(self.base, "image_spans"):
+            raise AttributeError("image_spans")
+        return self.base.image_spans(self._base_index(i))
+
 
 @dataclass
 class ArrayProbe(Probe):

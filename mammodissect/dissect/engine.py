@@ -490,6 +490,74 @@ def _fused_harvest_embed(dissector, probe, layers, pool_mode: str, batch_size: i
             np.concatenate(emb_acc, axis=0), n_images)
 
 
+def _prefetch_packed_batches(probe, batch_size: int, quantum: int, cap_bytes: int,
+                             depth: int = 2, start: int = 0,
+                             fixed_len: Optional[int] = None):
+    """Packed-wire batch assembly (dissect/packing.py): the producer thread computes
+    per-row nonzero spans, packs them into one flat uint8 buffer (bucket-padded to a
+    static length) and emits (flat [L], meta [B, H, 2] i32, n_valid, L). Packing
+    overlaps device work exactly like `_prefetch_u8_batches`' decode+resize.
+
+    `fixed_len` pins the bucket (single compile) when the caller knows the payload
+    envelope (e.g. the bench precomputes its pool's max batch bytes); a batch that
+    overflows it falls back to the quantum bucketing for that batch."""
+    import queue
+    import threading
+
+    from mammodissect.dissect.packing import bucket_len, pack_batch, pad_flat
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    n = len(probe)
+    h, w_, c = probe.image_shape
+    use_spans = hasattr(probe, "image_spans")
+
+    def producer():
+        try:
+            for start_ in range(start, n, batch_size):
+                stop = min(start_ + batch_size, n)
+                u8 = np.zeros((batch_size, h, w_, c), np.uint8)
+                spans = [] if use_spans else None
+                for j, i in enumerate(range(start_, stop)):
+                    u8[j] = probe.image_u8(i)
+                    if use_spans:
+                        spans.append(probe.image_spans(i))
+                if use_spans:
+                    from mammodissect.dissect.packing import row_spans
+
+                    # tail padding rows are all-zero -> empty spans
+                    spans.extend(row_spans(u8[j]) for j in range(stop - start_, batch_size))
+                flat, meta = pack_batch(u8, spans=spans)
+                if fixed_len is not None and flat.shape[0] <= fixed_len:
+                    bucket = int(fixed_len)
+                else:
+                    bucket = bucket_len(flat.shape[0], quantum, cap_bytes)
+                q.put((pad_flat(flat, bucket), meta, stop - start_, bucket))
+        except Exception as e:  # surface loader errors to the consumer
+            q.put(e)
+            return
+        q.put(None)
+
+    threading.Thread(target=producer, daemon=True).start()
+    while True:
+        item = q.get()
+        if item is None:
+            return
+        if isinstance(item, Exception):
+            raise item
+        yield item
+
+
+def _decide_wire_pack(wire_pack: str, probe) -> bool:
+    """Resolve the wire_pack mode against a sampled packed-fraction estimate."""
+    if wire_pack == "off" or not hasattr(probe, "image_u8"):
+        return False
+    if wire_pack == "on":
+        return True
+    from mammodissect.dissect.packing import sample_pack_fraction
+
+    return sample_pack_fraction(probe) <= 0.85
+
+
 class _ChunkSpiller:
     """Background writer: fetches completed resident chunks to host and saves them to
     the activation cache, off the harvest loop's critical path. Restores the
@@ -608,7 +676,9 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
                                  chunk_batches: int = 16, log=None,
                                  cache_dir: Optional[str] = None, cache_key: str = "",
                                  deadline: Optional[float] = None,
-                                 timing: Optional[list] = None):
+                                 timing: Optional[list] = None,
+                                 wire_pack: str = "off",
+                                 pack_fixed_len: Optional[int] = None):
     """Device-resident fused M-dissect harvest (see BreastClip.fused_resident_step).
 
     Per batch the only relay traffic is the uint8 upload; activations+embeddings
@@ -634,7 +704,14 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
     and the deadline cannot interrupt it mid-transfer.
 
     timing, if a list, collects per-batch dicts {"assemble_s","put_s","step_s",
-    "sync_s"} for transport diagnostics.
+    "sync_s","wire_bytes"} for transport diagnostics.
+
+    wire_pack ("off"/"on"/"auto") enables the lossless packed uint8 wire
+    (dissect/packing.py): per-row nonzero spans cross instead of full frames and an
+    in-jit gather reconstructs the bit-identical canvas — the direct lever on the
+    measured >=98%-wire harvest for ~40-60%-black mammography probes. "auto"
+    samples the probe and packs when the payload fraction is <= 0.85.
+    pack_fixed_len pins the packed bucket to one static size (single compile).
 
     Returns (act_chunks, emb_chunks, names, widths, n_images) where the chunk lists
     concatenate (on device, in `score_resident`) to [>=n, U_total]/[>=n, D] f32."""
@@ -649,9 +726,24 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
     cap = chunk_batches * batch_size
     emb_dim = int(dissector.module.proj_dim)
 
+    packed = (_decide_wire_pack(wire_pack, probe)
+              and hasattr(dissector, "fused_resident_step_packed"))
+    cap_bytes = batch_size * h * w * c
+    pack_quantum = max(cap_bytes // 16, 1)
+    packed_steps: Dict[int, object] = {}
+
+    def _packed_step(bucket: int):
+        if bucket not in packed_steps:
+            packed_steps[bucket], _n, _w = dissector.fused_resident_step_packed(
+                shape, bucket, layers, pool_mode, probe.mean, probe.std)
+        return packed_steps[bucket]
+
     rows_sharding = u8_sharding = None
     if hasattr(dissector, "resident_accumulator_shardings"):
         rows_sharding, u8_sharding = dissector.resident_accumulator_shardings()
+    flat_sharding = meta_sharding = None
+    if packed and hasattr(dissector, "resident_packed_put_shardings"):
+        flat_sharding, meta_sharding = dissector.resident_packed_put_shardings()
 
     if rows_sharding is not None:
         # jitted creation with out_shardings: the zeros materialize sharded on
@@ -700,19 +792,42 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
                 + (f" + a partial chunk at row {offset}" if part else "")
                 + f" ({n_images} images) from {cache_dir}")
 
+    if packed:
+        batches = _prefetch_packed_batches(probe, batch_size, pack_quantum, cap_bytes,
+                                           start=consumed, fixed_len=pack_fixed_len)
+        if log is not None:
+            log("[resident] packed uint8 wire enabled"
+                + (f" (fixed bucket {pack_fixed_len} B)" if pack_fixed_len else ""))
+    else:
+        batches = ((u8, None, n_valid, None)
+                   for u8, n_valid in _prefetch_u8_batches(probe, batch_size,
+                                                           start=consumed))
     i_batch = 0
     try:
-        for u8, n_valid in _prefetch_u8_batches(probe, batch_size, start=consumed):
+        for payload, meta, n_valid, bucket in batches:
             t0 = time.perf_counter()
             if acc_a is None:
                 acc_a = _zeros(u_total)
                 acc_e = _zeros(emb_dim)
-            flat = np.ascontiguousarray(u8).reshape(-1)
-            t1 = time.perf_counter()
-            u8_dev = _put(flat)
-            t2 = time.perf_counter()
-            acc_a, acc_e = step(dissector.variables, acc_a, acc_e,
-                                u8_dev, jnp.int32(offset))
+            if packed:
+                wire_b = payload.nbytes + meta.nbytes
+                t1 = time.perf_counter()
+                flat_dev = (jax.device_put(payload, flat_sharding)
+                            if flat_sharding is not None else jax.device_put(payload))
+                meta_dev = (jax.device_put(meta, meta_sharding)
+                            if meta_sharding is not None else jax.device_put(meta))
+                t2 = time.perf_counter()
+                acc_a, acc_e = _packed_step(bucket)(
+                    dissector.variables, acc_a, acc_e, flat_dev, meta_dev,
+                    jnp.int32(offset))
+            else:
+                flat = np.ascontiguousarray(payload).reshape(-1)
+                wire_b = flat.nbytes
+                t1 = time.perf_counter()
+                u8_dev = _put(flat)
+                t2 = time.perf_counter()
+                acc_a, acc_e = step(dissector.variables, acc_a, acc_e,
+                                    u8_dev, jnp.int32(offset))
             t3 = time.perf_counter()
             n_images += n_valid
             consumed += batch_size
@@ -734,7 +849,8 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
                     log(f"[resident] {n_images}/{len(probe)} images")
             if timing is not None:
                 timing.append({"assemble_s": t1 - t0, "put_s": t2 - t1,
-                               "step_s": t3 - t2, "sync_s": t4 - t3})
+                               "step_s": t3 - t2, "sync_s": t4 - t3,
+                               "wire_bytes": wire_b})
             if deadline is not None:
                 margin = min(1.5 * (t4 - t0), 120.0)
                 if time.monotonic() >= deadline - margin:
@@ -926,32 +1042,76 @@ def score_all_layers(
     return out
 
 
+def _gather_resident_multihost(act_chunks, emb_chunks, n_local: int, probe):
+    """Reassemble per-host resident accumulators into global probe order.
+
+    Each host harvested its contiguous HostShardedProbe shard on its LOCAL mesh;
+    scoring needs the global [N, U_total] matrix (soft-WPMI's per-unit top-k and
+    log p(d) span ALL images). Hosts can stop at different batch boundaries under
+    a deadline, so every host trims to the common minimum, allgathers (tiled, so
+    contiguous shards concatenate back in probe order), and drops the shard
+    clamp-padding rows (indices past the true probe length).
+
+    Returns (act_chunks, emb_chunks, n_images, index_map) where index_map[i] is
+    the GLOBAL probe index of gathered row i — the CSV's top-activating-image ids
+    must pass through it."""
+    from jax.experimental import multihost_utils
+
+    local_a = np.concatenate([np.asarray(c) for c in act_chunks], axis=0)[:n_local]
+    local_e = np.concatenate([np.asarray(c) for c in emb_chunks], axis=0)[:n_local]
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray([n_local]), tiled=True)
+    ).reshape(-1)
+    n_min = int(counts.min())
+    ga = np.asarray(multihost_utils.process_allgather(local_a[:n_min], tiled=True))
+    ge = np.asarray(multihost_utils.process_allgather(local_e[:n_min], tiled=True))
+    per_host, n_total = probe.per_host, len(probe.base)
+    idx = np.concatenate(
+        [np.arange(h * per_host, h * per_host + n_min) for h in range(len(counts))])
+    mask = idx < n_total  # clamp-padded shard rows duplicate the last probe image
+    return [ga[mask]], [ge[mask]], int(mask.sum()), idx[mask]
+
+
 def _run_dissection_resident(cfg: DissectConfig, probe=None, target=None,
                              dissector=None, log=print):
     """Fully device-resident M-dissect (see DissectConfig.resident). Returns
-    (DataFrame, csv_path) or None when the configuration can't run resident."""
+    (DataFrame, csv_path) or None when the configuration can't run resident.
+
+    Real multi-host runs (process_count > 1): each host runs the resident harvest
+    over its contiguous HostShardedProbe shard on its LOCAL device mesh (per-host
+    chunk spill keyed by host index), then the accumulators are process-allgathered
+    back into probe order for scoring — the resident analogue of the staged path's
+    DistributedSampler + allgather-and-trim (`Classifiers/experiments.py:554-564`)."""
     if not (cfg.target_model == "breastclip"
             and cfg.clip_model == "breastclip"
             and not cfg.target_kwargs
             and not cfg.finetuned_ckpt and target is None):
         return None
+    import warnings
+
     import jax
 
-    if jax.process_count() > 1:
-        # real multi-host runs: the resident accumulators are single-process
-        # device_puts and the chunk spiller writes one host's view — the staged
-        # path has the per-host probe shard + allgather-and-trim machinery
-        # (`harvest_probe`), so fall back loudly rather than mis-shard
-        log("[resident] multi-host run detected (process_count > 1); using the "
-            "staged path, which shards the probe per host")
-        return None
-    mesh = auto_data_mesh()
+    from mammodissect.parallel.mesh import mesh_spans_processes
+
+    n_procs = jax.process_count()
+    mesh = auto_data_mesh()  # LOCAL devices: each host harvests its own shard
     probe = probe or get_probe(cfg.d_probe, **cfg.probe_kwargs)
     if not (hasattr(probe, "image_u8") and hasattr(probe, "mean")):
         return None
+    index_map = None
+    if n_procs > 1:
+        from mammodissect.data.probes import HostShardedProbe
+
+        if not isinstance(probe, HostShardedProbe):
+            probe = HostShardedProbe(probe)
     dk = dict(cfg.dissector_kwargs)
     dk.setdefault("ckpt_path", cfg.breast_clip_ckpt)
     dissector = _attach_mesh(dissector or get_dissector(cfg.clip_model, **dk), mesh)
+    if n_procs > 1 and mesh_spans_processes(getattr(dissector, "mesh", None)):
+        warnings.warn(
+            "multi-host resident dissection harvests per-host shards on LOCAL "
+            "devices; replacing the dissector's process-spanning mesh")
+        dissector.set_mesh(mesh)
     if not hasattr(dissector, "fused_resident_step"):
         return None
     bs = _round_batch(cfg.batch_size, getattr(dissector, "mesh", None))
@@ -968,26 +1128,43 @@ def _run_dissection_resident(cfg: DissectConfig, probe=None, target=None,
     # geometry validation alone would silently resume stale chunks
     import hashlib
 
+    # resolve the packed-wire decision HERE so the resume cache keys on the actual
+    # wire mode: packed and unpacked programs reconstruct bit-identical canvases,
+    # but compile as different XLA programs, and resumed chunks must come from one
+    wire_mode = "on" if (_decide_wire_pack(cfg.wire_pack, probe)
+                         and hasattr(dissector, "fused_resident_step_packed")) else "off"
     sig = hashlib.sha1(repr((tuple(layers), cfg.pool_mode,
                              sorted(cfg.probe_kwargs.items()),
-                             cfg.breast_clip_ckpt)).encode()).hexdigest()[:8]
+                             cfg.breast_clip_ckpt, wire_mode)).encode()).hexdigest()[:8]
     cache_key = (f"{cfg.save_prefix}{d_probe_key}_{cfg.clip_model}"
                  f"_resident_b{bs}_{sig}")
+    if n_procs > 1:
+        # per-host spill files must not collide in a shared activation_dir
+        cache_key += f"_host{jax.process_index()}of{n_procs}"
     deadline = (time.monotonic() + cfg.deadline_s
                 if cfg.deadline_s is not None else None)
     t0 = time.time()
     act_chunks, emb_chunks, names, widths, n_images = fused_harvest_embed_resident(
         dissector, probe, layers, cfg.pool_mode, bs,
         cache_dir=cfg.activation_dir, cache_key=cache_key, log=log,
-        deadline=deadline)
+        deadline=deadline, wire_pack=wire_mode)
     if n_images < len(probe):
         log(f"[resident] PARTIAL dissection: {n_images}/{len(probe)} images within "
             f"the {cfg.deadline_s}s budget; rerun to resume and complete")
+    if n_procs > 1:
+        act_chunks, emb_chunks, n_images, index_map = _gather_resident_multihost(
+            act_chunks, emb_chunks, n_images, probe)
+        log(f"[resident] multi-host: gathered {n_images} rows from {n_procs} "
+            f"host shards for scoring")
     text_feats = dissector.embed_texts(words)
     top_vals, top_idx, img_idx = score_resident(
         act_chunks, emb_chunks, n_images, text_feats, widths, cfg.similarity_fn,
         top_k=cfg.top_k, num_top_concepts=cfg.num_top_concepts,
         num_top_images=cfg.num_top_images)
+    if index_map is not None:
+        # multi-host: scored rows are the gathered subset; map top-activating-image
+        # ids back to GLOBAL probe indices for the CSV contract
+        img_idx = index_map[img_idx]
     log(f"[resident] dissected {n_images} images x {len(names)} layers on device "
         f"in {time.time()-t0:.1f}s")
 

@@ -1,0 +1,253 @@
+"""Lossless packed uint8 wire (dissect/packing.py): host row-span packing must
+reconstruct bit-identical canvases on device, and the packed resident harvest must
+equal the unpacked one end-to-end."""
+import numpy as np
+import pytest
+
+from mammodissect.dissect.packing import (
+    bucket_len,
+    pack_batch,
+    packed_nbytes,
+    pad_flat,
+    row_spans,
+    sample_pack_fraction,
+    unpack_canvas,
+)
+
+
+def _sparse_images(rng, n, h, w, c=1):
+    """Mammogram-shaped synthetic images: zero background, one bright region per
+    image attached to the left or right edge (random size/offset)."""
+    imgs = np.zeros((n, h, w, c), np.uint8)
+    for i in range(n):
+        hh = rng.integers(h // 3, h + 1)
+        ww = rng.integers(w // 4, (2 * w) // 3)
+        y0 = rng.integers(0, h - hh + 1)
+        x0 = 0 if rng.integers(2) == 0 else w - ww
+        imgs[i, y0 : y0 + hh, x0 : x0 + ww] = rng.integers(
+            1, 256, size=(hh, ww, c), dtype=np.uint8)
+    return imgs
+
+
+def _roundtrip(u8):
+    import jax
+
+    flat, meta = pack_batch(u8)
+    cap = int(np.prod(u8.shape))
+    bucket = bucket_len(flat.shape[0], max(cap // 16, 1), cap)
+    got = np.asarray(jax.jit(
+        lambda f, m: unpack_canvas(f, m, u8.shape)
+    )(pad_flat(flat, bucket), meta))
+    return got, flat
+
+
+def test_pack_unpack_bit_exact_sparse():
+    rng = np.random.default_rng(0)
+    u8 = _sparse_images(rng, 5, 37, 29)
+    got, flat = _roundtrip(u8)
+    np.testing.assert_array_equal(got, u8)
+    assert flat.shape[0] < u8.size  # actually saved bytes
+
+
+def test_pack_unpack_bit_exact_dense_and_zero_and_multichannel():
+    rng = np.random.default_rng(1)
+    dense = rng.integers(0, 256, size=(3, 16, 24, 1), dtype=np.uint8)
+    got, _ = _roundtrip(dense)
+    np.testing.assert_array_equal(got, dense)
+
+    zeros = np.zeros((2, 8, 8, 1), np.uint8)
+    got, flat = _roundtrip(zeros)
+    np.testing.assert_array_equal(got, zeros)
+    assert flat.shape[0] == 0
+
+    rgb = _sparse_images(rng, 3, 20, 18, c=3)
+    got, _ = _roundtrip(rgb)
+    np.testing.assert_array_equal(got, rgb)
+
+
+def test_pack_drops_interior_edge_zeros_losslessly():
+    """Random texture contains exact zeros at span edges; reconstruction must
+    restore them (the span only covers first..last nonzero)."""
+    img = np.zeros((1, 4, 10, 1), np.uint8)
+    img[0, 1, 2:8, 0] = [0, 5, 0, 7, 0, 0]  # row span is cols 3..5 only
+    start, length = row_spans(img[0])
+    assert start[1] == 3 and length[1] == 3
+    got, _ = _roundtrip(img)
+    np.testing.assert_array_equal(got, img)
+
+
+def test_bucket_len_and_packed_nbytes():
+    assert bucket_len(0, 10, 100) == 10  # at least one quantum
+    assert bucket_len(11, 10, 100) == 20
+    assert bucket_len(999, 10, 100) == 100  # capped at raw size
+    meta = np.zeros((2, 3, 2), np.int32)
+    meta[..., 1] = 4
+    assert packed_nbytes(meta, channels=3) == 2 * 3 * 4 * 3
+
+
+def test_sample_pack_fraction_sparse_vs_dense():
+    from mammodissect.data.probes import ArrayProbe
+
+    rng = np.random.default_rng(2)
+    sparse = ArrayProbe(_sparse_images(rng, 8, 64, 48), mean=0.3, std=0.25)
+    dense = ArrayProbe(rng.integers(0, 256, size=(8, 64, 48, 1), dtype=np.uint8),
+                       mean=0.3, std=0.25)
+    assert sample_pack_fraction(sparse) < 0.8
+    assert sample_pack_fraction(dense) > 0.95
+
+    from mammodissect.dissect.engine import _decide_wire_pack
+
+    assert _decide_wire_pack("auto", sparse) is True
+    assert _decide_wire_pack("auto", dense) is False
+    assert _decide_wire_pack("on", dense) is True
+    assert _decide_wire_pack("off", sparse) is False
+
+
+@pytest.fixture(scope="module")
+def small_dissector_setup():
+    from mammodissect.data.probes import ArrayProbe
+
+    rng = np.random.default_rng(3)
+    probe = ArrayProbe(_sparse_images(rng, 12, 64, 48), mean=0.3, std=0.25)
+    small = {"image_shape": (64, 48, 1), "bert_layers": 2,
+             "model_config": {
+                 "name": "clip_custom", "temperature": 0.07,
+                 "image_encoder": {"model_type": "cnn", "variant": "efficientnet-b0",
+                                   "in_channels": 1},
+                 "text_encoder": {"pooling": "eos"},
+                 "projection_head": {"name": "linear", "proj_dim": 32}}}
+    return probe, small
+
+
+def test_packed_resident_matches_unpacked(small_dissector_setup):
+    """wire_pack='on' must produce the same accumulators as the unpacked wire: the
+    reconstructed canvas is bit-identical, so only XLA program-level float noise
+    (different fusion decisions) separates them."""
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import fused_harvest_embed_resident
+
+    probe, small = small_dissector_setup
+    layers = ["blocks.0", "blocks.3"]
+    d = get_dissector("breastclip", **small)
+
+    a0, e0, names0, widths0, n0 = fused_harvest_embed_resident(
+        d, probe, layers, "avg", batch_size=4, chunk_batches=2, wire_pack="off")
+    timing: list = []
+    a1, e1, names1, widths1, n1 = fused_harvest_embed_resident(
+        d, probe, layers, "avg", batch_size=4, chunk_batches=2, wire_pack="on",
+        timing=timing)
+    assert n0 == n1 and names0 == names1 and widths0 == widths1
+    cat = lambda cs, n: np.concatenate([np.asarray(c) for c in cs], axis=0)[:n]
+    np.testing.assert_allclose(cat(a1, n1), cat(a0, n0), rtol=0, atol=2e-3)
+    np.testing.assert_allclose(cat(e1, n1), cat(e0, n0), rtol=0, atol=2e-3)
+    # the packed wire actually moved fewer bytes than the raw frames
+    raw = 4 * 64 * 48
+    assert all(t["wire_bytes"] < raw for t in timing), timing
+
+
+def test_packed_resident_auto_enables_and_csv_matches_staged(
+        small_dissector_setup, tmp_path):
+    """End-to-end: a sparse probe auto-enables packing under --resident and the CSV
+    equals the staged (unpacked, disk-staged) pipeline's CSV."""
+    import pandas as pd
+
+    from mammodissect.dissect.engine import DissectConfig, run_dissection
+
+    probe, small = small_dissector_setup
+    base = dict(target_model="breastclip", clip_model="breastclip",
+                target_layers=["blocks.0", "blocks.2"], d_probe="synthetic_u8",
+                concept_set="tests/assets/tiny_concepts.txt", batch_size=4,
+                dissector_kwargs=small, num_top_concepts=3, num_top_images=4)
+
+    logs = []
+    cfg_r = DissectConfig(activation_dir=str(tmp_path / "ra"),
+                          result_dir=str(tmp_path / "rr"), resident=True, **base)
+    df_r, _ = run_dissection(cfg_r, probe=probe, log=logs.append)
+    assert any("packed uint8 wire enabled" in str(l) for l in logs), logs
+
+    cfg_s = DissectConfig(activation_dir=str(tmp_path / "sa"),
+                          result_dir=str(tmp_path / "sr"), wire_pack="off", **base)
+    df_s, _ = run_dissection(cfg_s, probe=probe, log=lambda *a: None)
+
+    pd.testing.assert_frame_equal(
+        df_r.drop(columns=["similarity"]), df_s.drop(columns=["similarity"]))
+    for a, b in zip(df_r["similarity"], df_s["similarity"]):
+        np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
+
+
+def test_packed_resident_sharded_matches_single_device(small_dissector_setup):
+    """Packed wire under the 8-device CPU mesh: flat payload replicated, metadata
+    batch-sharded, accumulators row-sharded — rows must land where the
+    single-device packed run puts them."""
+    import jax
+
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import fused_harvest_embed_resident
+    from mammodissect.parallel.mesh import auto_data_mesh
+
+    if len(jax.devices()) < 2:
+        pytest.skip("needs the multi-device CPU mesh")
+    probe, small = small_dissector_setup
+    layers = ["blocks.0", "blocks.2"]
+
+    d1 = get_dissector("breastclip", **small)
+    a1, e1, *_ , n1 = fused_harvest_embed_resident(
+        d1, probe, layers, "avg", batch_size=8, chunk_batches=1, wire_pack="on")
+
+    d2 = get_dissector("breastclip", **small)
+    d2.set_mesh(auto_data_mesh())
+    a2, e2, *_, n2 = fused_harvest_embed_resident(
+        d2, probe, layers, "avg", batch_size=8, chunk_batches=1, wire_pack="on")
+
+    assert n1 == n2
+    assert any(len(c.sharding.device_set) > 1 for c in a2)
+    cat = lambda cs, n: np.concatenate([np.asarray(c) for c in cs], axis=0)[:n]
+    # tolerance rationale as test_resident_sharded_matches_single_device: layout
+    # bugs move whole rows; XLA:CPU algorithm variance across programs is ~1e-3
+    np.testing.assert_allclose(cat(a2, n2), cat(a1, n1), rtol=0, atol=5e-3)
+    np.testing.assert_allclose(cat(e2, n2), cat(e1, n1), rtol=0, atol=2e-2)
+
+
+def test_packed_resume_roundtrip(small_dissector_setup, tmp_path):
+    """Deadline-interrupted packed harvest resumes from spilled chunks and completes
+    to the same result as a clean packed run."""
+    import time as _time
+
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import fused_harvest_embed_resident
+
+    probe, small = small_dissector_setup  # 12 images
+    layers = ["blocks.0"]
+    d = get_dissector("breastclip", **small)
+    cache = str(tmp_path / "cache")
+
+    a0, e0, *_, n0 = fused_harvest_embed_resident(
+        d, probe, layers, "avg", batch_size=4, chunk_batches=1, wire_pack="on")
+    a1, e1, *_, n1 = fused_harvest_embed_resident(
+        d, probe, layers, "avg", batch_size=4, chunk_batches=1, wire_pack="on",
+        cache_dir=cache, cache_key="pk", deadline=_time.monotonic())
+    assert n1 == 4 < len(probe)
+    logs = []
+    a2, e2, *_, n2 = fused_harvest_embed_resident(
+        d, probe, layers, "avg", batch_size=4, chunk_batches=1, wire_pack="on",
+        cache_dir=cache, cache_key="pk", log=logs.append)
+    assert n2 == len(probe) and any("resumed" in str(l) for l in logs)
+    cat = lambda cs, n: np.concatenate([np.asarray(c) for c in cs], axis=0)[:n]
+    np.testing.assert_allclose(cat(a2, n2), cat(a0, n0), rtol=1e-5, atol=1e-5)
+
+
+def test_packed_fixed_len_overflow_falls_back(small_dissector_setup):
+    """A fixed bucket too small for one batch's payload falls back to quantum
+    bucketing for that batch instead of corrupting it."""
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import fused_harvest_embed_resident
+
+    probe, small = small_dissector_setup
+    d = get_dissector("breastclip", **small)
+    a0, e0, *_, n0 = fused_harvest_embed_resident(
+        d, probe, ["blocks.0"], "avg", batch_size=4, chunk_batches=2, wire_pack="off")
+    a1, e1, *_, n1 = fused_harvest_embed_resident(
+        d, probe, ["blocks.0"], "avg", batch_size=4, chunk_batches=2, wire_pack="on",
+        pack_fixed_len=8)  # absurdly small: every batch overflows
+    cat = lambda cs, n: np.concatenate([np.asarray(c) for c in cs], axis=0)[:n]
+    np.testing.assert_allclose(cat(a1, n1), cat(a0, n0), rtol=0, atol=2e-3)
