@@ -128,6 +128,120 @@ def imagenet_preprocess(arr: np.ndarray, size: int = 224) -> np.ndarray:
 
 
 # ------------------------------------------------------------------ train-time augment
+def affine_matrix(angle_deg: float, tx: float, ty: float, scale: float,
+                  shear_x_deg: float, cx: float, cy: float) -> np.ndarray:
+    """Forward 3x3 affine (input (x,y,1) -> output): rotate+shear+scale about the
+    image center, then translate — the component set of the reference's
+    albumentations `Affine(rotate, translate_percent, scale, shear)`
+    (`data/data_utils.py:35-41`, `Datasets/dataset_utils.py:46`)."""
+    a = np.deg2rad(angle_deg)
+    sh = np.deg2rad(shear_x_deg)
+    rot = np.array([[np.cos(a), -np.sin(a), 0], [np.sin(a), np.cos(a), 0], [0, 0, 1.0]])
+    shear = np.array([[1.0, -np.tan(sh), 0], [0, 1.0, 0], [0, 0, 1.0]])
+    sc = np.diag([scale, scale, 1.0])
+    to_c = np.array([[1.0, 0, -cx], [0, 1.0, -cy], [0, 0, 1.0]])
+    from_c = np.array([[1.0, 0, cx + tx], [0, 1.0, cy + ty], [0, 0, 1.0]])
+    return from_c @ rot @ shear @ sc @ to_c
+
+
+def apply_affine(arr: np.ndarray, fwd: np.ndarray) -> np.ndarray:
+    """Warp HWC float32 by a forward affine matrix in ONE bilinear resampling pass
+    (PIL takes the inverse map: output (x, y) -> input coords)."""
+    inv = np.linalg.inv(fwd)
+    data = (inv[0, 0], inv[0, 1], inv[0, 2], inv[1, 0], inv[1, 1], inv[1, 2])
+    h, w = arr.shape[:2]
+    chans = []
+    for c in range(arr.shape[2]):
+        im = Image.fromarray(arr[..., c])
+        im = im.transform((w, h), Image.AFFINE, data, resample=Image.BILINEAR)
+        chans.append(np.asarray(im, dtype=np.float32))
+    return np.stack(chans, axis=-1)
+
+
+def elastic_deform(arr: np.ndarray, rng: np.random.Generator,
+                   alpha: float = 10.0, sigma: float = 15.0) -> np.ndarray:
+    """Elastic deformation, albumentations `ElasticTransform(alpha=10, sigma=15)`
+    semantics (`data/data_utils.py:42-45`, `configs/transform/clahe.yaml:10-11`):
+    displacement fields = gaussian_filter(U(-1,1), sigma) * alpha, sampled bilinearly
+    with mirrored borders (cv2 BORDER_REFLECT_101 equivalent)."""
+    from scipy.ndimage import gaussian_filter, map_coordinates
+
+    h, w = arr.shape[:2]
+    dx = gaussian_filter(rng.uniform(-1.0, 1.0, size=(h, w)), sigma) * alpha
+    dy = gaussian_filter(rng.uniform(-1.0, 1.0, size=(h, w)), sigma) * alpha
+    yy, xx = np.meshgrid(np.arange(h, dtype=np.float32),
+                         np.arange(w, dtype=np.float32), indexing="ij")
+    coords = [yy + dy, xx + dx]
+    out = np.stack(
+        [map_coordinates(arr[..., c], coords, order=1, mode="mirror")
+         for c in range(arr.shape[2])], axis=-1)
+    return out.astype(np.float32)
+
+
+def transform_boxes_affine(boxes: np.ndarray, fwd: np.ndarray) -> np.ndarray:
+    """Map [N, 4] xyxy boxes through a forward affine: transform the 4 corners and
+    take the axis-aligned hull (imgaug BoundingBox semantics). No clipping — the
+    reference keeps out-of-frame coords as-is (`dataset_concepts.py:328-331`)."""
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4)
+    if not len(boxes):
+        return boxes
+    x1, y1, x2, y2 = boxes[:, 0], boxes[:, 1], boxes[:, 2], boxes[:, 3]
+    corners = np.stack([
+        np.stack([x1, y1], 1), np.stack([x2, y1], 1),
+        np.stack([x1, y2], 1), np.stack([x2, y2], 1),
+    ], axis=1)  # [N, 4, 2]
+    pts = corners @ fwd[:2, :2].T + fwd[:2, 2]
+    return np.concatenate([pts.min(axis=1), pts.max(axis=1)], axis=1)
+
+
+def augment_detection(
+    arr: np.ndarray,
+    boxes: np.ndarray,
+    rng: np.random.Generator,
+    max_rotate_deg: float = 20.0,
+    translate_frac: float = 0.1,
+    scale_range: tuple[float, float] = (0.8, 1.2),
+    shear_deg: float = 20.0,
+    elastic_alpha: float = 10.0,
+    elastic_sigma: float = 15.0,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Box-aware detection augmentation, imgaug-pipeline parity
+    (`Datasets/dataset_utils.py:64-71`): Fliplr(0.5), Flipud(0.5),
+    Affine(rotate ±20, translate ±0.1, scale [0.8,1.2], shear ±20) and
+    ElasticTransformation(alpha, sigma) — affine and elastic apply ALWAYS
+    (iaa.Sequential has no per-transform gate, unlike the classifier's
+    albumentations Compose). Boxes ride the flips and the affine corner transform;
+    the elastic field at alpha=10/sigma=15 displaces <0.5 px (the gaussian-filtered
+    unit field's amplitude times alpha), below box quantization, so it warps the
+    image only — imgaug's own keypoint shift is the same sub-pixel field.
+
+    arr: HWC float; boxes: [N, 4] xyxy pixels. Returns (arr, boxes)."""
+    h, w = arr.shape[:2]
+    boxes = np.asarray(boxes, np.float32).reshape(-1, 4).copy()
+    if rng.random() < 0.5:  # Fliplr
+        arr = arr[:, ::-1]
+        if len(boxes):
+            boxes = np.stack([w - boxes[:, 2], boxes[:, 1],
+                              w - boxes[:, 0], boxes[:, 3]], axis=1)
+    if rng.random() < 0.5:  # Flipud
+        arr = arr[::-1]
+        if len(boxes):
+            boxes = np.stack([boxes[:, 0], h - boxes[:, 3],
+                              boxes[:, 2], h - boxes[:, 1]], axis=1)
+    angle = rng.uniform(-max_rotate_deg, max_rotate_deg)
+    tx = rng.uniform(-translate_frac, translate_frac) * w
+    ty = rng.uniform(-translate_frac, translate_frac) * h
+    scale = rng.uniform(*scale_range)
+    shear = rng.uniform(-shear_deg, shear_deg)
+    fwd = affine_matrix(angle, tx, ty, scale, shear, cx=w / 2.0, cy=h / 2.0)
+    arr = apply_affine(np.ascontiguousarray(arr), fwd)
+    boxes = transform_boxes_affine(boxes, fwd)
+    if elastic_alpha > 0:
+        arr = elastic_deform(np.ascontiguousarray(arr), rng,
+                             alpha=elastic_alpha, sigma=elastic_sigma)
+    return np.ascontiguousarray(arr), boxes
+
+
 def augment_train(
     arr: np.ndarray,
     rng: np.random.Generator,
@@ -136,32 +250,36 @@ def augment_train(
     max_rotate_deg: float = 20.0,
     translate_frac: float = 0.1,
     scale_range: tuple[float, float] = (0.8, 1.2),
-    p: float = 0.5,
+    shear_deg: float = 20.0,
+    elastic_alpha: float = 10.0,
+    elastic_sigma: float = 15.0,
+    p: float = 1.0,
 ) -> np.ndarray:
-    """Train augmentation matching the reference's albumentations recipe envelope
-    (HFlip+VFlip+Affine(20deg, 0.1 translate, [0.8,1.2] scale), `data/data_utils.py:25-67`).
-    Implemented with PIL affine on the host; elastic deform omitted (augment, not contract)."""
+    """Train augmentation with the reference's full albumentations recipe:
+    Compose([HFlip, VFlip, Affine(rotate 20, translate 0.1, scale [0.8,1.2],
+    SHEAR 20), ElasticTransform(alpha 10, sigma 15)], p)
+    (`data/data_utils.py:25-67`, `Datasets/dataset_utils.py:42-55`,
+    `configs/transform/clahe.yaml:6-12` — p defaults to 1.0 like the reference
+    config/flag). Compose semantics match albumentations: the outer p gates the
+    whole pipeline, each inner transform applies with probability 0.5. The affine
+    is one combined warp (single resampling pass) including x-axis shear in
+    degrees; set elastic_alpha=0 to disable the elastic stage."""
+    if rng.random() >= p:
+        return np.ascontiguousarray(arr)
     if hflip and rng.random() < 0.5:
         arr = arr[:, ::-1]
     if vflip and rng.random() < 0.5:
         arr = arr[::-1]
-    if rng.random() < p:
+    if rng.random() < 0.5:
         angle = rng.uniform(-max_rotate_deg, max_rotate_deg)
         tx = rng.uniform(-translate_frac, translate_frac) * arr.shape[1]
         ty = rng.uniform(-translate_frac, translate_frac) * arr.shape[0]
         scale = rng.uniform(*scale_range)
-        chans = []
-        for c in range(arr.shape[2]):
-            im = Image.fromarray(arr[..., c])
-            im = im.rotate(
-                angle, resample=Image.BILINEAR, translate=(tx, ty), center=None, expand=False
-            )
-            if scale != 1.0:
-                w, h = im.size
-                im2 = im.resize((max(int(w * scale), 1), max(int(h * scale), 1)), Image.BILINEAR)
-                canvas = Image.new("F", (w, h))
-                canvas.paste(im2, ((w - im2.size[0]) // 2, (h - im2.size[1]) // 2))
-                im = canvas
-            chans.append(np.asarray(im, dtype=np.float32))
-        arr = np.stack(chans, axis=-1)
+        shear = rng.uniform(-shear_deg, shear_deg)
+        fwd = affine_matrix(angle, tx, ty, scale, shear,
+                            cx=arr.shape[1] / 2.0, cy=arr.shape[0] / 2.0)
+        arr = apply_affine(np.ascontiguousarray(arr), fwd)
+    if elastic_alpha > 0 and rng.random() < 0.5:
+        arr = elastic_deform(np.ascontiguousarray(arr), rng,
+                             alpha=elastic_alpha, sigma=elastic_sigma)
     return np.ascontiguousarray(arr)

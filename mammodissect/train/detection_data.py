@@ -32,6 +32,12 @@ class DetectionDataset:
     mean: float = T.VINDR_MEAN
     std: float = T.VINDR_STD
     max_boxes: int = 16
+    # train=True enables the reference's box-aware imgaug pipeline (Fliplr/Flipud
+    # 0.5 + Affine incl. shear 20 + ElasticTransformation, applied BEFORE the
+    # min-max/mean-std normalization, `Datasets/dataset_utils.py:64-71`,
+    # `dataset_concepts.py:313-331`)
+    train: bool = False
+    seed: int = 0
 
     def __post_init__(self):
         self.groups = list(self.df.groupby(self.image_col, sort=False))
@@ -39,6 +45,7 @@ class DetectionDataset:
             names = sorted(self.df[self.class_col].dropna().unique())
             self.class_map = {n: i for i, n in enumerate(names)}
         self.image_shape = (self.size_hw[0], self.size_hw[1], 1)
+        self._rng = np.random.default_rng(self.seed)
 
     def __len__(self):
         return len(self.groups)
@@ -49,22 +56,32 @@ class DetectionDataset:
         path, rows = self.groups[i]
         arr = T.load_image(os.path.join(self.root, str(path)), grayscale=True)
         src_h, src_w = arr.shape[:2]
-        img = T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
         sy = self.size_hw[0] / src_h
         sx = self.size_hw[1] / src_w
-        boxes = np.full((self.max_boxes, 5), -1.0, np.float32)
-        n = 0
+        xy, cls = [], []
         for _, r in rows.iterrows():
-            if n >= self.max_boxes:
+            if len(xy) >= self.max_boxes:
                 break
             vals = [r.get(c) for c in self.box_cols]
             if any(v is None or (isinstance(v, float) and np.isnan(v)) for v in vals):
                 continue
             x1, y1, x2, y2 = vals
-            boxes[n] = [x1 * sx, y1 * sy, x2 * sx, y2 * sy,
-                        float(self.class_map.get(r.get(self.class_col), -1))]
-            n += 1
-        return {"image": img, "boxes": boxes, "n_boxes": n, "img_path": str(path)}
+            xy.append([x1 * sx, y1 * sy, x2 * sx, y2 * sy])
+            cls.append(float(self.class_map.get(r.get(self.class_col), -1)))
+
+        if self.train:
+            arr = T.resize(arr, self.size_hw)
+            arr, xy_t = T.augment_detection(
+                arr, np.asarray(xy, np.float32).reshape(-1, 4), self._rng)
+            xy = xy_t.tolist()
+            img = T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
+        else:
+            img = T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
+
+        boxes = np.full((self.max_boxes, 5), -1.0, np.float32)
+        for n, (b, c) in enumerate(zip(xy, cls)):
+            boxes[n] = [*b, c]
+        return {"image": img, "boxes": boxes, "n_boxes": len(xy), "img_path": str(path)}
 
 
 def collate_detection(items: List[Dict]) -> Dict[str, np.ndarray]:
