@@ -61,6 +61,11 @@ class HostShardedProbe(Probe):
         for attr in ("mean", "std"):
             if hasattr(probe, attr):
                 setattr(self, attr, getattr(probe, attr))
+        if hasattr(probe, "image_spans"):
+            # instance attribute, not a method: hasattr(shard, "image_spans") must
+            # mirror the BASE probe (packed-wire capability detection), and shard
+            # indices remap like every other accessor
+            self.image_spans = lambda i: probe.image_spans(self._base_index(i))
 
     def __len__(self):
         return self.per_host
@@ -76,13 +81,6 @@ class HostShardedProbe(Probe):
 
     def image_u8(self, i):
         return self.base.image_u8(self._base_index(i))
-
-    def image_spans(self, i):
-        # only exposed when the base probe has precomputed spans (packed wire);
-        # indices remap to the shard like every other accessor
-        if not hasattr(self.base, "image_spans"):
-            raise AttributeError("image_spans")
-        return self.base.image_spans(self._base_index(i))
 
 
 @dataclass

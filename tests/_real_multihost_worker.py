@@ -134,9 +134,43 @@ assert len(live) == len(back)
 for a, b in zip(live, back):
     np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=0, atol=1e-6)
 
+# ---- resident dissection composed with multi-host (round-4): each host harvests
+# its contiguous probe shard on LOCAL devices, then the accumulators allgather back
+# into probe order (engine._gather_resident_multihost) ----
+import warnings  # noqa: E402
+
+from mammodissect.data.probes import HostShardedProbe  # noqa: E402
+from mammodissect.dissect.dissectors import get_dissector  # noqa: E402
+from mammodissect.dissect.engine import (  # noqa: E402
+    _gather_resident_multihost,
+    fused_harvest_embed_resident,
+)
+
+small = {"image_shape": (32, 32, 1), "bert_layers": 1,
+         "model_config": {
+             "name": "clip_custom", "temperature": 0.07,
+             "image_encoder": {"model_type": "cnn", "variant": "efficientnet-test",
+                               "in_channels": 1},
+             "text_encoder": {"pooling": "eos"},
+             "projection_head": {"name": "linear", "proj_dim": 16}}}
+with warnings.catch_warnings():
+    warnings.simplefilter("ignore")  # toy-tokenizer warning expected
+    d_res = get_dissector("breastclip", **small)
+res_probe = ArrayProbe(
+    images=np.stack([probe.image_u8(i) for i in range(11)])[:, :32, :32],
+    mean=0.3089279, std=0.25053)
+shard = HostShardedProbe(res_probe)
+RES_LAYERS = ["blocks.0", "blocks.1"]
+ra, re_, _rn, _rw, rn_local = fused_harvest_embed_resident(
+    d_res, shard, RES_LAYERS, "avg", batch_size=4)
+g_act, g_emb, g_n, g_idx = _gather_resident_multihost(ra, re_, rn_local, shard)
+assert g_n == 11, g_n
+
 if pid == 0:
     np.savez(out, **{f"u8_{l}": acc_u8[l] for l in LAYERS},
              **{f"f32_{l}": acc_f32[l] for l in LAYERS},
              train_losses=np.asarray(losses), eval_preds=np.asarray(preds),
-             pretrain_losses=np.asarray(pre_losses))
+             pretrain_losses=np.asarray(pre_losses),
+             resident_act=g_act[0], resident_emb=g_emb[0],
+             resident_idx=np.asarray(g_idx))
 print(f"[worker {pid}] done", flush=True)

@@ -211,27 +211,93 @@ def test_simulated_2proc_f32_local_batch_respects_local_mesh(monkeypatch):
                                rtol=0, atol=1e-5)
 
 
-def test_resident_falls_back_to_staged_on_multihost(monkeypatch, tmp_path):
-    """--resident on a real multi-host run (process_count > 1) must fall back to the
-    staged path (per-host probe shards + allgather), not device_put host-local
-    accumulators into a host-spanning sharding."""
+def test_resident_multihost_compose_simulated(monkeypatch, tmp_path):
+    """--resident on a multi-host run composes (round-4): each host harvests its
+    contiguous shard on LOCAL devices, the accumulators are allgathered back into
+    probe order for scoring, and the CSV's top-activating-image ids are GLOBAL
+    probe indices. Simulated 2-proc run must reproduce the single-process CSV."""
+    import warnings
+
     import jax
+    import pandas as pd
+    from jax.experimental import multihost_utils
 
-    from mammodissect.data.probes import ArrayProbe
-    from mammodissect.dissect.engine import DissectConfig, _run_dissection_resident
+    from mammodissect.data.probes import ArrayProbe, HostShardedProbe
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import (
+        DissectConfig,
+        fused_harvest_embed_resident,
+        run_dissection,
+    )
 
-    monkeypatch.setattr(jax, "process_count", lambda: 2)
     rng = np.random.default_rng(0)
-    probe = ArrayProbe(rng.integers(0, 256, size=(8, 32, 32, 1), dtype=np.uint8),
-                       mean=0.3, std=0.25)
-    logs = []
-    cfg = DissectConfig(target_model="breastclip", clip_model="breastclip",
-                        target_layers=["blocks.0"], resident=True,
-                        activation_dir=str(tmp_path / "a"),
-                        result_dir=str(tmp_path / "r"))
-    out = _run_dissection_resident(cfg, probe=probe, log=logs.append)
-    assert out is None
-    assert any("multi-host" in str(l) for l in logs), logs
+    base = ArrayProbe(rng.integers(0, 256, size=(11, 32, 32, 1), dtype=np.uint8),
+                      mean=0.3, std=0.25)
+    small = {"image_shape": (32, 32, 1), "bert_layers": 1,
+             "model_config": {
+                 "name": "clip_custom", "temperature": 0.07,
+                 "image_encoder": {"model_type": "cnn", "variant": "efficientnet-b0",
+                                   "in_channels": 1},
+                 "text_encoder": {"pooling": "eos"},
+                 "projection_head": {"name": "linear", "proj_dim": 16}}}
+    layers = ["blocks.0", "blocks.1"]
+    base_cfg = dict(target_model="breastclip", clip_model="breastclip",
+                    target_layers=layers, d_probe="synthetic_u8",
+                    concept_set="tests/assets/tiny_concepts.txt", batch_size=4,
+                    dissector_kwargs=small, resident=True,
+                    num_top_concepts=2, num_top_images=3)
+
+    # single-process reference CSV
+    cfg_ref = DissectConfig(activation_dir=str(tmp_path / "a0"),
+                            result_dir=str(tmp_path / "r0"), **base_cfg)
+    df_ref, _ = run_dissection(cfg_ref, probe=base, log=lambda *a: None)
+
+    # precompute every rank's local resident result (same seeded dissector) so the
+    # fake allgather can hand each simulated rank the full gather
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        d_pre = get_dissector("breastclip", **small)
+    from mammodissect.parallel.mesh import auto_data_mesh
+
+    d_pre.set_mesh(auto_data_mesh())
+    bs = cfg_ref.batch_size
+    pre = {}
+    for p in range(2):
+        shard = HostShardedProbe(base, index=p, count=2)
+        a, e, *_ , n_local = fused_harvest_embed_resident(
+            d_pre, shard, layers, "avg",
+            ((bs + len(jax.devices()) - 1) // len(jax.devices())) * len(jax.devices()))
+        cat = lambda cs: np.concatenate([np.asarray(c) for c in cs], axis=0)
+        pre[p] = (cat(a)[:n_local], cat(e)[:n_local], n_local)
+
+    def fake_allgather(x, tiled=True):
+        x = np.asarray(x)
+        if x.shape == (1,):  # the counts gather
+            return np.asarray([pre[0][2], pre[1][2]])
+        which = 0 if x.shape[1] == pre[0][0].shape[1] else 1
+        n_min = min(pre[0][2], pre[1][2])
+        return np.concatenate([pre[p][which][:n_min] for p in range(2)], axis=0)
+
+    dfs = []
+    for rank in range(2):
+        monkeypatch.setattr(jax, "process_count", lambda: 2)
+        monkeypatch.setattr(jax, "process_index", lambda r=rank: r)
+        monkeypatch.setattr(multihost_utils, "process_allgather", fake_allgather)
+        logs = []
+        cfg = DissectConfig(activation_dir=str(tmp_path / f"a{rank+1}"),
+                            result_dir=str(tmp_path / f"r{rank+1}"), **base_cfg)
+        df, _ = run_dissection(cfg, probe=base, log=logs.append)
+        monkeypatch.undo()
+        assert any("multi-host: gathered 11 rows" in str(l) for l in logs), logs
+        dfs.append(df)
+
+    for df in dfs:
+        pd.testing.assert_frame_equal(
+            df.drop(columns=["similarity"]), df_ref.drop(columns=["similarity"]))
+        for a, b in zip(df["similarity"], df_ref["similarity"]):
+            np.testing.assert_allclose(a, b, rtol=2e-3, atol=2e-3)
+        # image ids are GLOBAL probe indices
+        assert all(0 <= i < 11 for row in df["images"] for i in row)
 
 
 def test_iter_epoch_host_sharding_contract():

@@ -34,6 +34,11 @@ _INIT_FAILURE_SIGNATURES = (
     "connection refused",
     "unavailable",
     "deadline exceeded",
+    "deadline_exceeded",  # gloo context init: collective ARRIVAL skew > its 30 s
+    # window (per-process compile-cache races on this 1-core host make the two
+    # workers reach a late collective far apart on a cold cache; the retry runs
+    # with the cache warm and aligned)
+    "gloo context initialization failed",
     "coordination service",
 )
 
@@ -235,3 +240,43 @@ def test_real_2proc_training_matches_single_process(real_2proc_results):
     # gather moves sigmoids by O(0.1-0.5)
     np.testing.assert_allclose(got_preds, np.asarray(want_preds),
                                rtol=0, atol=1e-2)
+
+
+def test_real_2proc_resident_compose_matches_single_process(real_2proc_results):
+    """Round-4: resident dissection composed with REAL multi-host — per-host shard
+    harvest on local devices + allgather reassembly must equal a single-process
+    resident harvest of the whole probe, with a correct global index map."""
+    import warnings
+
+    from mammodissect.data.probes import ArrayProbe
+    from mammodissect.dissect.dissectors import get_dissector
+    from mammodissect.dissect.engine import fused_harvest_embed_resident
+
+    small = {"image_shape": (32, 32, 1), "bert_layers": 1,
+             "model_config": {
+                 "name": "clip_custom", "temperature": 0.07,
+                 "image_encoder": {"model_type": "cnn",
+                                   "variant": "efficientnet-test",
+                                   "in_channels": 1},
+                 "text_encoder": {"pooling": "eos"},
+                 "projection_head": {"name": "linear", "proj_dim": 16}}}
+    rng = np.random.default_rng(0)
+    u8_imgs = rng.integers(0, 256, size=(11, 64, 64, 1)).astype(np.uint8)
+    probe = ArrayProbe(images=u8_imgs[:, :32, :32], mean=0.3089279, std=0.25053)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        d = get_dissector("breastclip", **small)
+    a, e, *_, n = fused_harvest_embed_resident(d, probe, ["blocks.0", "blocks.1"],
+                                               "avg", batch_size=4)
+    cat = lambda cs: np.concatenate([np.asarray(c) for c in cs], axis=0)
+    want_a, want_e = cat(a)[:n], cat(e)[:n]
+
+    got_idx = real_2proc_results["resident_idx"]
+    np.testing.assert_array_equal(got_idx, np.arange(11))
+    got_a = real_2proc_results["resident_act"]
+    got_e = real_2proc_results["resident_emb"]
+    assert got_a.shape == want_a.shape and got_e.shape == want_e.shape
+    # same tolerance rationale as the harvest tests above: row placement bugs are
+    # O(activation magnitude); XLA:CPU program-level float variance is ~1e-3
+    np.testing.assert_allclose(got_a, want_a, rtol=0, atol=2e-3)
+    np.testing.assert_allclose(got_e, want_e, rtol=0, atol=2e-2)
