@@ -117,22 +117,37 @@ def sample_pack_fraction(probe, k: int = 4) -> float:
 
 
 def unpack_canvas(flat_u8, meta, shape):
-    """Device-side reconstruction (call INSIDE a jit): one gather from the packed
-    buffer back to the [B, H, W, C] uint8 canvas, bit-identical to the original.
+    """Device-side reconstruction (call INSIDE a jit): rebuild the [B, H, W, C]
+    uint8 canvas from the packed buffer, bit-identical to the original.
+
+    Formulation matters enormously on TPU: an elementwise `take` with computed
+    [B,H,W,C] indices runs through the scalar gather path (measured 1.23 s/batch
+    at the canonical 64x1520x912 geometry — 3.4x slower than the whole B5
+    forward). Instead, every canvas row is ONE fixed-size dynamic_slice of the
+    flat buffer at offset rowoff - start*C (the bytes left of the span are the
+    previous row's tail — garbage that the span mask zeroes anyway), so the whole
+    unpack is a single slice-granular gather of B*H contiguous W*C-byte rows plus
+    one vectorized mask — the pattern XLA lowers to efficient block copies.
 
     flat_u8: [L] uint8 (bucket-padded), meta: [B, H, 2] int32 (start, length)."""
+    import jax
     import jax.numpy as jnp
 
     b, h, w, c = shape
+    wc = w * c
     start = meta[..., 0]  # [B, H]
     length = meta[..., 1]
     row_bytes = (length * c).reshape(-1)  # [B*H], batch-row-major = host pack order
     rowoff = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(row_bytes)[:-1].astype(jnp.int32)]
-    ).reshape(b, h)
+    )
+    # front/back zero aprons keep every row's slice in bounds (first row with
+    # start > 0 reaches left of offset 0; dynamic_slice clamps the far end)
+    apron = jnp.zeros((wc,), flat_u8.dtype)
+    flat_p = jnp.concatenate([apron, flat_u8, apron])
+    offs = rowoff - start.reshape(-1) * c + wc  # [B*H]
+    rows = jax.vmap(lambda o: jax.lax.dynamic_slice(flat_p, (o,), (wc,)))(offs)
+    rows = rows.reshape(b, h, w, c)
     x = jnp.arange(w, dtype=jnp.int32)[None, None, :]  # [1, 1, W]
     inside = (x >= start[:, :, None]) & (x < (start + length)[:, :, None])  # [B,H,W]
-    base = rowoff[:, :, None] + (x - start[:, :, None]) * c  # [B, H, W]
-    idx = base[..., None] + jnp.arange(c, dtype=jnp.int32)  # [B, H, W, C]
-    vals = jnp.take(flat_u8, jnp.clip(idx, 0, flat_u8.shape[0] - 1))
-    return jnp.where(inside[..., None], vals, jnp.uint8(0))
+    return jnp.where(inside[..., None], rows, jnp.uint8(0))

@@ -70,7 +70,9 @@ def _kernel(x_hbm, wexp_ref, bn1s_ref, bn1b_ref, wdw_ref, bn2s_ref, bn2b_ref,
     gx = jax.lax.broadcasted_iota(jnp.int32, (t + HALO, w + HALO), 1)
     valid = ((gy >= pad) & (gy < n_rows_total + pad)
              & (gx >= pad) & (gx < w + pad))
-    e = jnp.where(valid[:, :, None], e, 0.0).astype(jnp.bfloat16)
+    # minor-dim insertion on an i1 vector is unsupported by Mosaic — cast the mask
+    # to f32 FIRST, then broadcast; x*1.0/x*0.0 gives the exact zeros SAME needs
+    e = (e * valid.astype(jnp.float32)[:, :, None]).astype(jnp.bfloat16)
 
     acc = jnp.zeros((t, w, cexp), jnp.float32)
     for dy in range(K):  # unrolled: 25 shifted VPU FMAs
@@ -99,39 +101,49 @@ def fused_expand_dw(x, w_exp, bn1_scale, bn1_bias, w_dw, bn2_scale, bn2_bias,
     cexp = w_exp.shape[1]
     assert h % t == 0, (h, t)
     pad = HALO // 2
-    x_pad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, 0)))
+    # Mosaic DMA slices and VMEM tiles want 128-aligned minor dims: pad channels.
+    # MXU lanes are 128-wide regardless, so the padded matmul costs the same; the
+    # padded expand channels carry zero BN scale/bias -> silu(0) = 0 -> sliced off.
+    cin_p = -(-cin // 128) * 128
+    cexp_p = -(-cexp // 128) * 128
+    x_pad = jnp.pad(x, ((0, 0), (pad, pad), (pad, pad), (0, cin_p - cin)))
+    w_exp_p = jnp.pad(jnp.asarray(w_exp), ((0, cin_p - cin), (0, cexp_p - cexp)))
+    w_dw_p = jnp.pad(jnp.asarray(w_dw), ((0, 0), (0, 0), (0, cexp_p - cexp)))
+
+    def padded_vec(v):
+        return jnp.pad(jnp.asarray(v, jnp.float32), (0, cexp_p - cexp)).reshape(1, cexp_p)
 
     grid = (bsz, h // t)
-    kernel = functools.partial(_kernel, t=t, w=w, cin=cin, cexp=cexp)
+    kernel = functools.partial(_kernel, t=t, w=w, cin=cin_p, cexp=cexp_p)
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cexp), jnp.bfloat16),
+        out_shape=jax.ShapeDtypeStruct((bsz, h, w, cexp_p), jnp.bfloat16),
         grid=grid,
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # x_pad stays in HBM; manual DMA
-            pl.BlockSpec((cin, cexp), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, cexp), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, cexp), lambda b, i: (0, 0)),
-            pl.BlockSpec((K, K, cexp), lambda b, i: (0, 0, 0)),
-            pl.BlockSpec((1, cexp), lambda b, i: (0, 0)),
-            pl.BlockSpec((1, cexp), lambda b, i: (0, 0)),
+            pl.BlockSpec((cin_p, cexp_p), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, cexp_p), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, cexp_p), lambda b, i: (0, 0)),
+            pl.BlockSpec((K, K, cexp_p), lambda b, i: (0, 0, 0)),
+            pl.BlockSpec((1, cexp_p), lambda b, i: (0, 0)),
+            pl.BlockSpec((1, cexp_p), lambda b, i: (0, 0)),
         ],
-        out_specs=pl.BlockSpec((1, t, w, cexp), lambda b, i: (b, i, 0, 0)),
+        out_specs=pl.BlockSpec((1, t, w, cexp_p), lambda b, i: (b, i, 0, 0)),
         scratch_shapes=[
-            pltpu.VMEM((t + HALO, w + HALO, cin), jnp.bfloat16),
+            pltpu.VMEM((t + HALO, w + HALO, cin_p), jnp.bfloat16),
             pltpu.SemaphoreType.DMA,
         ],
         interpret=interpret,
     )(
         x_pad.astype(jnp.bfloat16),
-        w_exp.astype(jnp.bfloat16),
-        jnp.asarray(bn1_scale, jnp.float32).reshape(1, cexp),
-        jnp.asarray(bn1_bias, jnp.float32).reshape(1, cexp),
-        w_dw.astype(jnp.float32),
-        jnp.asarray(bn2_scale, jnp.float32).reshape(1, cexp),
-        jnp.asarray(bn2_bias, jnp.float32).reshape(1, cexp),
+        w_exp_p.astype(jnp.bfloat16),
+        padded_vec(bn1_scale),
+        padded_vec(bn1_bias),
+        w_dw_p.astype(jnp.float32),
+        padded_vec(bn2_scale),
+        padded_vec(bn2_bias),
     )
-    return out
+    return out[..., :cexp]
 
 
 @functools.partial(jax.jit, static_argnames=())
