@@ -103,8 +103,8 @@ def make_mammo_pool(pool_n: int, h: int, w: int):
 
     rng = np.random.default_rng(0)  # mask geometry: tiny arrays, determinism is free
     pool = np.empty((pool_n, h, w, 1), np.uint8)
-    ds = 8  # masks computed at 1/8 resolution (1520, 912 are both divisible)
-    hh, ww = h // ds, w // ds
+    ds = 8  # masks computed at 1/8 resolution, cropped to (h, w) after upsampling
+    hh, ww = -(-h // ds), -(-w // ds)  # ceil: BENCH_IMAGE_H/W need not divide by 8
     yy = (np.arange(hh) + 0.5) / hh
     xx = (np.arange(ww) + 0.5) / ww
     spans = []
@@ -115,7 +115,7 @@ def make_mammo_pool(pool_n: int, h: int, w: int):
         rx = rng.uniform(0.55, 0.75)
         dx = xx if rng.integers(2) == 0 else 1.0 - xx  # breast on left or right edge
         m = ((yy[:, None] - cy) / ry) ** 2 + (dx[None, :] / rx) ** 2 <= 1.0
-        mask = np.repeat(np.repeat(m, ds, axis=0), ds, axis=1)
+        mask = np.repeat(np.repeat(m, ds, axis=0), ds, axis=1)[:h, :w]
         tex = np.frombuffer(os.urandom(h * w), np.uint8).reshape(h, w)
         pool[i, :, :, 0] = tex * mask
         spans.append(row_spans(pool[i]))
@@ -125,6 +125,23 @@ def make_mammo_pool(pool_n: int, h: int, w: int):
 
 def note(msg):
     print(f"[bench {time.strftime('%T')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _wipe_cache(cache_dir: str, cache_key: str) -> int:
+    """Remove every spilled cache file under this run's key (complete chunks AND
+    partials) so the measured harvest covers every image over the wire. One
+    helper for both the upfront wipe and the belt-and-braces re-wipe — the glob
+    must track the _ChunkSpiller file naming in exactly one place."""
+    import glob
+
+    wiped = 0
+    for p in glob.glob(os.path.join(cache_dir, f"{cache_key}_*")):
+        try:
+            os.remove(p)
+            wiped += 1
+        except OSError:
+            pass
+    return wiped
 
 
 # Stage progress shared with the watchdog (the runtime's remote compile can wedge
@@ -430,7 +447,8 @@ def main():
         (batch_size, h, w, 1), pack_fixed_len, layers, "avg", mean, std)
     flat_np, meta_np = pack_batch(pool[:batch_size],
                                   spans=pool_spans[:batch_size])
-    flat_dev = jax.device_put(pad_flat(flat_np, pack_fixed_len))
+    # wire format is [D, L] per data-shard group; single chip => D=1
+    flat_dev = jax.device_put(pad_flat(flat_np, pack_fixed_len)[None, :])
     meta_dev = jax.device_put(meta_np)
     acc_a, acc_e = step_p(dissector.variables, acc_a, acc_e, flat_dev, meta_dev,
                           jnp.int32(0))
@@ -461,15 +479,7 @@ def main():
     # complete chunks AND partials — before the timed harvest; the in-run spill
     # stays (crash resumability for the watchdog record), but the published rate
     # always covers every image over the wire THIS run.
-    import glob as _glob
-
-    wiped = 0
-    for p in _glob.glob(os.path.join(cache_dir, f"{cache_key}_*")):
-        try:
-            os.remove(p)
-            wiped += 1
-        except OSError:
-            pass
+    wiped = _wipe_cache(cache_dir, cache_key)
     if wiped:
         note(f"wiped {wiped} stale cache files for a clean-cache measurement")
     timing: list = []
@@ -521,14 +531,8 @@ def main():
     if not timing and n_seen:
         # belt-and-braces: the upfront wipe should make this unreachable, but the
         # published rate must NEVER come from disk — re-wipe and re-harvest
-        import glob
-
         note("cache fully covers the probe; re-measuring with a fresh harvest")
-        for p in glob.glob(os.path.join(cache_dir, f"{cache_key}_*")):
-            try:
-                os.remove(p)
-            except OSError:
-                pass
+        _wipe_cache(cache_dir, cache_key)
         t0 = time.perf_counter()
         act_chunks, emb_chunks, names, widths, n_seen = fused_harvest_embed_resident(
             dissector, probe, layers, "avg", batch_size, sync_every=sync_every,
@@ -576,11 +580,14 @@ def main():
     value = min(n_rate, n_seen) / total_s
 
     # v5e-8 projection (the north-star's actual hardware): each chip's host uploads
-    # n/8 of the probe (1.74 GB — inside this relay's ~2.7 GB fast phase at ~50 MB/s,
-    # and irrelevant on real PCIe hosts), compute runs DP-sharded over Mesh('data')
-    # through the SAME resident path (sharded accumulators — dryrun_multichip runs it;
-    # tests/test_fused_dissect.py asserts sharded==single-device), scoring is one
-    # segmented SPMD program.
+    # n/8 of the probe — valid for the PACKED wire because the payload packs per
+    # data-shard group and ships [D, L] sharded P('data') (each chip receives only
+    # its own shard's packed bytes; a replicated payload would have made per-chip
+    # upload n_devices x wire_per_image). Per-shard bucket padding adds <= 1/16 of
+    # a shard's raw bytes — inside this projection's margin. Compute runs DP-sharded
+    # over Mesh('data') through the SAME resident path (sharded accumulators +
+    # shard_map unpack — dryrun_multichip runs it; tests/test_packing.py asserts
+    # sharded==single-device), scoring is one segmented SPMD program.
     per_chip_images = 10_000 / 8  # the north-star workload, regardless of BENCH_N_IMAGES
     wire_bytes_total = int(sum(t.get("wire_bytes", 0) for t in timing))
     wire_per_image = wire_bytes_total / max(n_fresh, 1)

@@ -44,27 +44,31 @@ def _attach_mesh(obj, mesh):
     return obj
 
 
-def _atomic_np_save(path: str, arr) -> None:
-    """np.save via write-to-temp + os.replace. Two protections: a crash mid-write
-    cannot leave a torn .npy behind the skip-if-exists check, and concurrent
-    same-path writers — every process of a multi-host run saves the identical
-    allgathered arrays to a shared activation_dir — each land a complete file
-    instead of truncating one another (np.save opens the path 'wb' in place).
-    The temp suffix must be unique ACROSS HOSTS (PIDs collide between hosts of a
-    multi-host run sharing one activation_dir), so it includes a random token; a
-    failed write unlinks its temp file instead of orphaning it in the cache dir."""
+def _atomic_write(path: str, writer) -> None:
+    """Write-to-temp + os.replace (the single atomic-write primitive for every
+    cache file). Two protections: a crash mid-write cannot leave a torn file
+    behind a skip-if-exists check, and concurrent same-path writers — every
+    process of a multi-host run saves the identical allgathered arrays to a
+    shared activation_dir — each land a complete file instead of truncating one
+    another. The temp suffix must be unique ACROSS HOSTS (PIDs collide between
+    hosts sharing one activation_dir), so it includes a random token; a failed
+    write unlinks its temp file instead of orphaning it in the cache dir."""
     import contextlib
     import uuid
 
     tmp = f"{path}.tmp.{os.getpid()}.{uuid.uuid4().hex[:8]}"
     try:
         with open(tmp, "wb") as f:  # file handle: np.save must not append .npy
-            np.save(f, arr)
+            writer(f)
         os.replace(tmp, path)
     except BaseException:
         with contextlib.suppress(FileNotFoundError):
             os.remove(tmp)
         raise
+
+
+def _atomic_np_save(path: str, arr) -> None:
+    _atomic_write(path, lambda f: np.save(f, arr))
 
 
 def _round_batch(batch_size: int, mesh) -> int:
@@ -268,25 +272,21 @@ def save_activations(cfg: DissectConfig, probe=None, target=None, dissector=None
     return paths
 
 
-def _prefetch_u8_batches(probe, batch_size: int, depth: int = 2, start: int = 0):
-    """Background-thread u8 batch assembly: image decode+resize (host) overlaps the
-    previous batch's device work — the TPU-side analogue of DataLoader workers.
-    `start` skips already-harvested images (chunk-level resume)."""
+def _prefetch(assemble, n: int, batch_size: int, start: int, depth: int = 2):
+    """Shared producer-thread scaffolding for batch prefetchers:
+    `assemble(start_, stop) -> item` builds one batch on a background thread so
+    host-side work (image decode+resize, span packing) overlaps the previous
+    batch's device work — the TPU-side analogue of DataLoader workers. Producer
+    exceptions surface in the consumer."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
-    n = len(probe)
-    h, w_, c = probe.image_shape
 
     def producer():
         try:
             for start_ in range(start, n, batch_size):
-                stop = min(start_ + batch_size, n)
-                u8 = np.zeros((batch_size, h, w_, c), np.uint8)
-                for j, i in enumerate(range(start_, stop)):
-                    u8[j] = probe.image_u8(i)
-                q.put((u8, stop - start_))
+                q.put(assemble(start_, min(start_ + batch_size, n)))
         except Exception as e:  # surface loader errors to the consumer
             q.put(e)
             return
@@ -300,6 +300,20 @@ def _prefetch_u8_batches(probe, batch_size: int, depth: int = 2, start: int = 0)
         if isinstance(item, Exception):
             raise item
         yield item
+
+
+def _prefetch_u8_batches(probe, batch_size: int, depth: int = 2, start: int = 0):
+    """Background-thread u8 batch assembly (`_prefetch`). `start` skips
+    already-harvested images (chunk-level resume)."""
+    h, w_, c = probe.image_shape
+
+    def assemble(start_, stop):
+        u8 = np.zeros((batch_size, h, w_, c), np.uint8)
+        for j, i in enumerate(range(start_, stop)):
+            u8[j] = probe.image_u8(i)
+        return u8, stop - start_
+
+    yield from _prefetch(assemble, len(probe), batch_size, start, depth)
 
 
 def harvest_probe(target, probe, layers, pool_mode: str, batch_size: int,
@@ -492,59 +506,45 @@ def _fused_harvest_embed(dissector, probe, layers, pool_mode: str, batch_size: i
 
 def _prefetch_packed_batches(probe, batch_size: int, quantum: int, cap_bytes: int,
                              depth: int = 2, start: int = 0,
-                             fixed_len: Optional[int] = None):
+                             fixed_len: Optional[int] = None, n_shards: int = 1):
     """Packed-wire batch assembly (dissect/packing.py): the producer thread computes
-    per-row nonzero spans, packs them into one flat uint8 buffer (bucket-padded to a
-    static length) and emits (flat [L], meta [B, H, 2] i32, n_valid, L). Packing
-    overlaps device work exactly like `_prefetch_u8_batches`' decode+resize.
+    per-row nonzero spans, packs them per data-shard group into a [n_shards, L]
+    uint8 payload (bucket-padded to a static per-shard length) and emits
+    (flat2d [D, L], meta [B, H, 2] i32, n_valid, L). Packing overlaps device work
+    exactly like `_prefetch_u8_batches`' decode+resize.
 
-    `fixed_len` pins the bucket (single compile) when the caller knows the payload
-    envelope (e.g. the bench precomputes its pool's max batch bytes); a batch that
-    overflows it falls back to the quantum bucketing for that batch."""
-    import queue
-    import threading
+    `quantum`/`cap_bytes`/`fixed_len` are PER-SHARD byte sizes. `fixed_len` pins
+    the bucket (single compile) when the caller knows the payload envelope (e.g.
+    the bench precomputes its pool's max batch bytes); a batch whose largest
+    shard group overflows it falls back to the quantum bucketing for that batch."""
+    from mammodissect.dissect.packing import (
+        bucket_len, pack_batch_groups, pad_flat)
 
-    from mammodissect.dissect.packing import bucket_len, pack_batch, pad_flat
-
-    q: "queue.Queue" = queue.Queue(maxsize=depth)
-    n = len(probe)
     h, w_, c = probe.image_shape
     use_spans = hasattr(probe, "image_spans")
+    zero_span = (np.zeros(h, np.int32), np.zeros(h, np.int32))
 
-    def producer():
-        try:
-            for start_ in range(start, n, batch_size):
-                stop = min(start_ + batch_size, n)
-                u8 = np.zeros((batch_size, h, w_, c), np.uint8)
-                spans = [] if use_spans else None
-                for j, i in enumerate(range(start_, stop)):
-                    u8[j] = probe.image_u8(i)
-                    if use_spans:
-                        spans.append(probe.image_spans(i))
-                if use_spans:
-                    from mammodissect.dissect.packing import row_spans
+    def assemble(start_, stop):
+        u8 = np.zeros((batch_size, h, w_, c), np.uint8)
+        spans = [] if use_spans else None
+        for j, i in enumerate(range(start_, stop)):
+            u8[j] = probe.image_u8(i)
+            if use_spans:
+                spans.append(probe.image_spans(i))
+        if use_spans:
+            # tail padding rows are known all-zero: constant empty spans,
+            # no O(H*W) rescan of frames we just allocated as zeros
+            spans.extend(zero_span for _ in range(stop - start_, batch_size))
+        flats, meta = pack_batch_groups(u8, n_shards, spans=spans)
+        max_exact = max(f.shape[0] for f in flats)
+        if fixed_len is not None and max_exact <= fixed_len:
+            bucket = int(fixed_len)
+        else:
+            bucket = bucket_len(max_exact, quantum, cap_bytes)
+        flat2d = np.stack([pad_flat(f, bucket) for f in flats])
+        return flat2d, meta, stop - start_, bucket
 
-                    # tail padding rows are all-zero -> empty spans
-                    spans.extend(row_spans(u8[j]) for j in range(stop - start_, batch_size))
-                flat, meta = pack_batch(u8, spans=spans)
-                if fixed_len is not None and flat.shape[0] <= fixed_len:
-                    bucket = int(fixed_len)
-                else:
-                    bucket = bucket_len(flat.shape[0], quantum, cap_bytes)
-                q.put((pad_flat(flat, bucket), meta, stop - start_, bucket))
-        except Exception as e:  # surface loader errors to the consumer
-            q.put(e)
-            return
-        q.put(None)
-
-    threading.Thread(target=producer, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is None:
-            return
-        if isinstance(item, Exception):
-            raise item
-        yield item
+    yield from _prefetch(assemble, len(probe), batch_size, start, depth)
 
 
 def _decide_wire_pack(wire_pack: str, probe) -> bool:
@@ -628,19 +628,6 @@ class _ChunkSpiller:
     def submit_partial(self, chunk_index: int, acc_a, acc_e, offset: int, n_images: int):
         self._q.put(("partial", chunk_index, acc_a, acc_e, offset, n_images))
 
-    def _save_atomic(self, path: str, writer):
-        import contextlib
-
-        tmp = path + ".tmp"
-        try:
-            with open(tmp, "wb") as f:  # file handle: np.save must not append .npy
-                writer(f)
-            os.replace(tmp, path)  # atomic: no torn chunks on kill
-        except BaseException:
-            with contextlib.suppress(FileNotFoundError):
-                os.remove(tmp)  # don't orphan temp files in the cache dir
-            raise
-
     def _run(self):
         while True:
             item = self._q.get()
@@ -652,11 +639,11 @@ class _ChunkSpiller:
                     pa, pe = self.paths(i)
                     for path, dev in ((pa, acc_a), (pe, acc_e)):
                         host = np.asarray(dev)  # device fetch happens here
-                        self._save_atomic(path, lambda f, h=host: np.save(f, h))
+                        _atomic_write(path, lambda f, h=host: np.save(f, h))
                 else:
                     _, idx, acc_a, acc_e, offset, n_img = item
                     a, e = np.asarray(acc_a), np.asarray(acc_e)
-                    self._save_atomic(
+                    _atomic_write(
                         self.partial_path,
                         lambda f: np.savez(f, act=a, emb=e, chunk_index=idx,
                                            offset=offset, n_images=n_img),
@@ -711,7 +698,10 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
     in-jit gather reconstructs the bit-identical canvas — the direct lever on the
     measured >=98%-wire harvest for ~40-60%-black mammography probes. "auto"
     samples the probe and packs when the payload fraction is <= 0.85.
-    pack_fixed_len pins the packed bucket to one static size (single compile).
+    Under a mesh the payload packs per data-shard group and ships [D, L] sharded
+    P('data') — each chip receives only its own shard's packed bytes.
+    pack_fixed_len pins the packed bucket to one static TOTAL size (single
+    compile); it is split evenly across the D shard groups.
 
     Returns (act_chunks, emb_chunks, names, widths, n_images) where the chunk lists
     concatenate (on device, in `score_resident`) to [>=n, U_total]/[>=n, D] f32."""
@@ -728,7 +718,14 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
 
     packed = (_decide_wire_pack(wire_pack, probe)
               and hasattr(dissector, "fused_resident_step_packed"))
-    cap_bytes = batch_size * h * w * c
+    # the packed payload packs/ships per data-shard group ([D, L] sharded
+    # P('data')), so bucket sizes are PER SHARD
+    n_shards = (getattr(dissector, "resident_data_shards", lambda: 1)()
+                if packed else 1)
+    if packed and batch_size % n_shards:
+        raise ValueError(f"packed wire needs batch_size {batch_size} divisible "
+                         f"by the mesh's data axis ({n_shards})")
+    cap_bytes = batch_size * h * w * c // n_shards
     pack_quantum = max(cap_bytes // 16, 1)
     packed_steps: Dict[int, object] = {}
 
@@ -793,10 +790,13 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
                 + f" ({n_images} images) from {cache_dir}")
 
     if packed:
+        fixed_group = (pack_fixed_len // n_shards) if pack_fixed_len else None
         batches = _prefetch_packed_batches(probe, batch_size, pack_quantum, cap_bytes,
-                                           start=consumed, fixed_len=pack_fixed_len)
+                                           start=consumed, fixed_len=fixed_group,
+                                           n_shards=n_shards)
         if log is not None:
             log("[resident] packed uint8 wire enabled"
+                + (f" ({n_shards} shard groups)" if n_shards > 1 else "")
                 + (f" (fixed bucket {pack_fixed_len} B)" if pack_fixed_len else ""))
     else:
         batches = ((u8, None, n_valid, None)

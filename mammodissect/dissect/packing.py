@@ -32,6 +32,15 @@ bytes are wasted wire (<= 1/16 of a full frame per batch) — still far below th
 The scheme degrades gracefully: an image with no zero background packs to the
 full frame (bucket = cap), costing only the metadata. `sample_pack_fraction`
 lets callers auto-disable packing for dense probes.
+
+Under a device mesh the payload is packed PER DATA SHARD (`pack_batch_groups`):
+group g holds the contiguous batch rows a `P('data')` sharding assigns to shard
+g, each group packs into its own flat buffer, and the wire tensor is
+[n_shards, L] sharded P('data', None) — so each chip receives ONLY its own
+shard's packed bytes (a replicated flat payload would make every chip pay the
+whole batch's wire, erasing packing's per-chip win on real multi-chip hosts).
+The unpack runs per shard (`shard_map` in the model step; `unpack_canvas_groups`
+is the mesh-free equivalent), entirely local — no collectives.
 """
 from __future__ import annotations
 
@@ -83,6 +92,28 @@ def pack_batch(u8: np.ndarray, spans=None) -> Tuple[np.ndarray, np.ndarray]:
         parts.append(pack_image(u8[i], start, length))
     flat = np.concatenate(parts) if parts else np.zeros((0,), np.uint8)
     return flat, meta
+
+
+def pack_batch_groups(u8: np.ndarray, n_groups: int, spans=None):
+    """Pack a [B, H, W, C] batch as `n_groups` contiguous shard groups.
+
+    Group g covers batch rows [g*B/n, (g+1)*B/n) — exactly the rows a
+    `P('data')` sharding over an n-way data axis assigns to shard g, so stacking
+    the (bucket-padded) group buffers into [n_groups, L] and sharding axis 0 by
+    'data' sends each device only its own images' bytes.
+
+    Returns (list of n_groups flat uint8 arrays (exact, unpadded), meta [B, H, 2])."""
+    b = u8.shape[0]
+    if b % n_groups:
+        raise ValueError(f"batch {b} not divisible by {n_groups} shard groups")
+    bs = b // n_groups
+    flats, metas = [], []
+    for g in range(n_groups):
+        sl = slice(g * bs, (g + 1) * bs)
+        f, m = pack_batch(u8[sl], spans=spans[sl] if spans is not None else None)
+        flats.append(f)
+        metas.append(m)
+    return flats, np.concatenate(metas, axis=0)
 
 
 def bucket_len(n_exact: int, quantum: int, cap: int) -> int:
@@ -151,3 +182,19 @@ def unpack_canvas(flat_u8, meta, shape):
     x = jnp.arange(w, dtype=jnp.int32)[None, None, :]  # [1, 1, W]
     inside = (x >= start[:, :, None]) & (x < (start + length)[:, :, None])  # [B,H,W]
     return jnp.where(inside[..., None], rows, jnp.uint8(0))
+
+
+def unpack_canvas_groups(flat2d, meta, shape):
+    """Device-side reconstruction of a per-shard-group packed batch (the
+    `pack_batch_groups` wire format): flat2d [D, L] uint8, meta [B, H, 2] i32,
+    B = D * Bs. Each group's row offsets are a cumsum over ITS OWN rows only
+    (groups pack independently), so the unpack vmaps `unpack_canvas` over the
+    group axis. Mesh-free equivalent of the model step's shard_map unpack —
+    used single-device (D=1) and in tests."""
+    import jax
+
+    d = flat2d.shape[0]
+    b, h, w, c = shape
+    meta_g = meta.reshape(d, b // d, h, 2)
+    out = jax.vmap(lambda f, m: unpack_canvas(f, m, (b // d, h, w, c)))(flat2d, meta_g)
+    return out.reshape(shape)

@@ -345,6 +345,70 @@ class BreastClip:
         packed, emb = fn(self.variables, jax.device_put(flat, dat))
         return packed, emb, names, widths
 
+    def _build_resident_step(self, key, shape, capture, pool_mode: str,
+                             mean: float, std: float, decode, wire_specs,
+                             wire_shardings):
+        """Shared resident-step builder for the unpacked and packed wires.
+
+        `decode(*wire) -> [B, H, W, C] uint8 canvas` is the only thing the two
+        wire formats differ in; everything downstream — min-max + mean/std
+        normalization, the captured forward, the projection, and the
+        dynamic_update_slice accumulate — is built once here so the
+        packed==unpacked bit-identity contract cannot drift one-sided.
+
+        Returns (step, names, widths) where
+          step(variables, acc_acts, acc_emb, *wire, offset) -> (acc_acts, acc_emb)."""
+        if key in self._jit_cache:
+            return self._jit_cache[key]
+
+        def raw(v, *wire):
+            u8 = decode(*wire)
+            x = u8.astype(jnp.float32) / 255.0
+            lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
+            hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
+            x = jnp.where(hi > lo, (x - lo) / (hi - lo), 0.0)
+            x = (x - mean) / std
+            pooled, captured = self.module.apply(
+                v, x, train=False, capture=capture, pool_mode=pool_mode,
+                method=BreastClipModule.encode_image,
+            )
+            emb = self.module.apply(v, pooled, method=BreastClipModule.project_image)
+            return captured, emb
+
+        shapes, _ = jax.eval_shape(raw, self.variables, *wire_specs)
+        names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
+        widths = tuple(int(shapes[k].shape[-1]) for k in names)
+
+        def step(v, acc_acts, acc_emb, *wire_and_offset):
+            *wire, offset = wire_and_offset
+            captured, emb = raw(v, *wire)
+            packed = jnp.concatenate(
+                [captured[k].astype(jnp.float32) for k in names], axis=-1
+            )
+            acc_acts = jax.lax.dynamic_update_slice(acc_acts, packed, (offset, 0))
+            acc_emb = jax.lax.dynamic_update_slice(
+                acc_emb, emb.astype(jnp.float32), (offset, 0)
+            )
+            return acc_acts, acc_emb
+
+        rep, _dat = self._batch_shardings()
+        if rep is None:
+            jstep = jax.jit(step, donate_argnums=(1, 2))
+        else:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from mammodissect.parallel.mesh import DATA_AXIS
+
+            rows = NamedSharding(self.mesh, P(DATA_AXIS, None))
+            jstep = jax.jit(
+                step,
+                in_shardings=(rep, rows, rows, *wire_shardings, rep),
+                out_shardings=(rows, rows),
+                donate_argnums=(1, 2),
+            )
+        self._jit_cache[key] = (jstep, names, widths)
+        return self._jit_cache[key]
+
     def fused_resident_step(self, sample_shape, layers, pool_mode: str,
                             mean: float, std: float):
         """Device-RESIDENT fused M-dissect step.
@@ -374,55 +438,13 @@ class BreastClip:
         capture = tuple(sorted({layer_index(c) for c in canon}))
         shape = tuple(sample_shape)
         key = ("resident_step", capture, pool_mode, shape, float(mean), float(std))
-        if key not in self._jit_cache:
-
-            def raw(v, u8_flat):
-                u8 = u8_flat.reshape(shape)
-                x = u8.astype(jnp.float32) / 255.0
-                lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
-                hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
-                x = jnp.where(hi > lo, (x - lo) / (hi - lo), 0.0)
-                x = (x - mean) / std
-                pooled, captured = self.module.apply(
-                    v, x, train=False, capture=capture, pool_mode=pool_mode,
-                    method=BreastClipModule.encode_image,
-                )
-                emb = self.module.apply(v, pooled, method=BreastClipModule.project_image)
-                return captured, emb
-
-            flat_spec = jax.ShapeDtypeStruct((int(np.prod(shape)),), jnp.uint8)
-            shapes, _ = jax.eval_shape(raw, self.variables, flat_spec)
-            names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
-            widths = tuple(int(shapes[k].shape[-1]) for k in names)
-
-            def step(v, acc_acts, acc_emb, u8_flat, offset):
-                captured, emb = raw(v, u8_flat)
-                packed = jnp.concatenate(
-                    [captured[k].astype(jnp.float32) for k in names], axis=-1
-                )
-                acc_acts = jax.lax.dynamic_update_slice(acc_acts, packed, (offset, 0))
-                acc_emb = jax.lax.dynamic_update_slice(
-                    acc_emb, emb.astype(jnp.float32), (offset, 0)
-                )
-                return acc_acts, acc_emb
-
-            rep, dat = self._batch_shardings()
-            if rep is None:
-                jstep = jax.jit(step, donate_argnums=(1, 2))
-            else:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from mammodissect.parallel.mesh import DATA_AXIS
-
-                rows = NamedSharding(self.mesh, P(DATA_AXIS, None))
-                jstep = jax.jit(
-                    step,
-                    in_shardings=(rep, rows, rows, dat, rep),
-                    out_shardings=(rows, rows),
-                    donate_argnums=(1, 2),
-                )
-            self._jit_cache[key] = (jstep, names, widths)
-        return self._jit_cache[key]
+        _, dat = self._batch_shardings()
+        return self._build_resident_step(
+            key, shape, capture, pool_mode, mean, std,
+            decode=lambda u8_flat: u8_flat.reshape(shape),
+            wire_specs=(jax.ShapeDtypeStruct((int(np.prod(shape)),), jnp.uint8),),
+            wire_shardings=(dat,),
+        )
 
     def fused_resident_step_packed(self, sample_shape, flat_len: int, layers,
                                    pool_mode: str, mean: float, std: float):
@@ -430,80 +452,70 @@ class BreastClip:
 
         The harvest is >=98% wire on the measured e2e path and mammography probes
         are ~40-60% exactly-black background, so the uint8 batch crosses the relay
-        as (flat packed row-spans [flat_len] u8, span metadata [B, H, 2] i32) and is
-        reconstructed to the bit-identical [B, H, W, C] canvas by one in-jit gather
-        before the same normalize + forward + accumulate as the unpacked step.
-        `flat_len` is a static bucket size (one compile per bucket).
+        as (per-shard flat row-span payloads [D, flat_len] u8, span metadata
+        [B, H, 2] i32) and is reconstructed to the bit-identical [B, H, W, C]
+        canvas by one in-jit gather before the same normalize + forward +
+        accumulate as the unpacked step. `flat_len` is a static PER-SHARD bucket
+        size (one compile per bucket); D is the mesh's data-axis size (1 without
+        a mesh).
+
+        Under a mesh the payload shards P('data', None) — each chip receives only
+        its own shard group's packed bytes (pack_batch_groups' row blocks match
+        the P('data') batch layout) and the unpack runs inside shard_map, fully
+        local, no collectives. A replicated payload would make every chip pay the
+        whole batch's wire, erasing packing's per-chip win on real multi-chip.
 
         Returns (step, names, widths) where
           step(variables, acc_acts, acc_emb, flat_u8, meta, offset)."""
+        from jax.sharding import PartitionSpec as P
+
         from mammodissect.dissect.capture import canonical_layer_name, layer_index
         from mammodissect.dissect.packing import unpack_canvas
+        from mammodissect.parallel.mesh import DATA_AXIS, data_parallel_size
 
         canon = [canonical_layer_name(l) for l in layers]
         capture = tuple(sorted({layer_index(c) for c in canon}))
         shape = tuple(sample_shape)
+        d = data_parallel_size(self.mesh)
+        if shape[0] % d:
+            raise ValueError(
+                f"packed wire needs batch {shape[0]} divisible by the mesh's "
+                f"data axis ({d})")
         key = ("resident_step_packed", capture, pool_mode, shape, int(flat_len),
-               float(mean), float(std))
-        if key not in self._jit_cache:
+               d, float(mean), float(std))
+        local_shape = (shape[0] // d,) + tuple(shape[1:])
 
-            def raw(v, flat_u8, meta):
-                u8 = unpack_canvas(flat_u8, meta, shape)
-                x = u8.astype(jnp.float32) / 255.0
-                lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
-                hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
-                x = jnp.where(hi > lo, (x - lo) / (hi - lo), 0.0)
-                x = (x - mean) / std
-                pooled, captured = self.module.apply(
-                    v, x, train=False, capture=capture, pool_mode=pool_mode,
-                    method=BreastClipModule.encode_image,
-                )
-                emb = self.module.apply(v, pooled, method=BreastClipModule.project_image)
-                return captured, emb
+        def decode(flat_u8, meta):
+            if self.mesh is None or d == 1:
+                return unpack_canvas(flat_u8[0], meta, shape)
+            out = jax.shard_map(
+                lambda f, m: unpack_canvas(f[0], m, local_shape),
+                mesh=self.mesh,
+                in_specs=(P(DATA_AXIS, None), P(DATA_AXIS, None, None)),
+                out_specs=P(DATA_AXIS, None, None, None),
+            )(flat_u8, meta)
+            return out
 
-            flat_spec = jax.ShapeDtypeStruct((int(flat_len),), jnp.uint8)
-            meta_spec = jax.ShapeDtypeStruct((shape[0], shape[1], 2), jnp.int32)
-            shapes, _ = jax.eval_shape(raw, self.variables, flat_spec, meta_spec)
-            names = sorted(shapes, key=lambda k: int(k.split(".")[-1]))
-            widths = tuple(int(shapes[k].shape[-1]) for k in names)
+        flat_sh, meta_sh = self.resident_packed_put_shardings()
+        return self._build_resident_step(
+            key, shape, capture, pool_mode, mean, std,
+            decode=decode,
+            wire_specs=(jax.ShapeDtypeStruct((d, int(flat_len)), jnp.uint8),
+                        jax.ShapeDtypeStruct((shape[0], shape[1], 2), jnp.int32)),
+            wire_shardings=(flat_sh, meta_sh),
+        )
 
-            def step(v, acc_acts, acc_emb, flat_u8, meta, offset):
-                captured, emb = raw(v, flat_u8, meta)
-                packed = jnp.concatenate(
-                    [captured[k].astype(jnp.float32) for k in names], axis=-1
-                )
-                acc_acts = jax.lax.dynamic_update_slice(acc_acts, packed, (offset, 0))
-                acc_emb = jax.lax.dynamic_update_slice(
-                    acc_emb, emb.astype(jnp.float32), (offset, 0)
-                )
-                return acc_acts, acc_emb
+    def resident_data_shards(self) -> int:
+        """Data-axis size D of the attached mesh (1 without one): the packed wire
+        packs per shard group and ships [D, L]."""
+        from mammodissect.parallel.mesh import data_parallel_size
 
-            rep, _dat = self._batch_shardings()
-            if rep is None:
-                jstep = jax.jit(step, donate_argnums=(1, 2))
-            else:
-                from jax.sharding import NamedSharding, PartitionSpec as P
-
-                from mammodissect.parallel.mesh import DATA_AXIS
-
-                rows = NamedSharding(self.mesh, P(DATA_AXIS, None))
-                # the flat packed buffer has ragged per-image boundaries, so it
-                # stays replicated (it's the COMPRESSED payload — cheap) while the
-                # metadata shards by batch; the gather from a replicated operand
-                # with batch-sharded indices needs no collectives
-                meta_sh = NamedSharding(self.mesh, P(DATA_AXIS, None, None))
-                jstep = jax.jit(
-                    step,
-                    in_shardings=(rep, rows, rows, rep, meta_sh, rep),
-                    out_shardings=(rows, rows),
-                    donate_argnums=(1, 2),
-                )
-            self._jit_cache[key] = (jstep, names, widths)
-        return self._jit_cache[key]
+        return data_parallel_size(self.mesh)
 
     def resident_packed_put_shardings(self):
         """(flat_sharding, meta_sharding) for packed-wire device_puts under this
-        model's mesh, or (None, None) single-device."""
+        model's mesh, or (None, None) single-device. The flat payload shards by
+        data — each device uploads/holds only its own shard group's bytes."""
         rep, _dat = self._batch_shardings()
         if rep is None:
             return None, None
@@ -511,7 +523,8 @@ class BreastClip:
 
         from mammodissect.parallel.mesh import DATA_AXIS
 
-        return rep, NamedSharding(self.mesh, P(DATA_AXIS, None, None))
+        return (NamedSharding(self.mesh, P(DATA_AXIS, None)),
+                NamedSharding(self.mesh, P(DATA_AXIS, None, None)))
 
     def resident_accumulator_shardings(self):
         """(row_sharding, u8_sharding) for resident accumulators under this model's

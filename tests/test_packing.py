@@ -175,8 +175,31 @@ def test_packed_resident_auto_enables_and_csv_matches_staged(
         np.testing.assert_allclose(a, b, rtol=1e-3, atol=1e-3)
 
 
+def test_pack_batch_groups_roundtrip_bit_exact():
+    """Per-shard-group packing ([D, L] wire) must reconstruct the bit-identical
+    batch via the vmapped group unpack, for every divisor group count."""
+    import jax
+
+    from mammodissect.dissect.packing import pack_batch_groups, unpack_canvas_groups
+
+    rng = np.random.default_rng(7)
+    u8 = _sparse_images(rng, 8, 24, 20)
+    for d in (1, 2, 4, 8):
+        flats, meta = pack_batch_groups(u8, d)
+        bucket = max(max(f.shape[0] for f in flats), 1)
+        flat2d = np.stack([pad_flat(f, bucket) for f in flats])
+        got = np.asarray(jax.jit(
+            lambda f, m: unpack_canvas_groups(f, m, u8.shape)
+        )(flat2d, meta))
+        np.testing.assert_array_equal(got, u8)
+    with pytest.raises(ValueError):
+        pack_batch_groups(u8, 3)  # 8 % 3 != 0
+
+
 def test_packed_resident_sharded_matches_single_device(small_dissector_setup):
-    """Packed wire under the 8-device CPU mesh: flat payload replicated, metadata
+    """Packed wire under the 8-device CPU mesh: the flat payload packs per
+    data-shard group and ships [D, L] sharded P('data') (each device holds ONLY
+    its own shard's bytes — the per-chip wire win on real multi-chip), metadata
     batch-sharded, accumulators row-sharded — rows must land where the
     single-device packed run puts them."""
     import jax
@@ -196,6 +219,14 @@ def test_packed_resident_sharded_matches_single_device(small_dissector_setup):
 
     d2 = get_dissector("breastclip", **small)
     d2.set_mesh(auto_data_mesh())
+    # the payload sharding really is data-sharded (not replicated): each device's
+    # addressable shard of a [D, L] payload must be one [1, L] group
+    from jax.sharding import PartitionSpec as P
+
+    flat_sh, meta_sh = d2.resident_packed_put_shardings()
+    assert flat_sh.spec == P("data", None), flat_sh.spec
+    assert meta_sh.spec == P("data", None, None), meta_sh.spec
+    assert d2.resident_data_shards() == len(flat_sh.mesh.devices.flat)
     a2, e2, *_, n2 = fused_harvest_embed_resident(
         d2, probe, layers, "avg", batch_size=8, chunk_batches=1, wire_pack="on")
 
