@@ -63,8 +63,18 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wire_pack", choices=("auto", "on", "off"), default="auto",
                    help="lossless packed uint8 wire for the --resident harvest: "
                         "send per-row nonzero spans instead of full frames "
-                        "(mammograms are ~40-60%% black background); 'auto' samples "
-                        "the probe and packs when it saves >=15%%")
+                        "(mammograms are ~40-60%% black background); 'auto' "
+                        "estimates the packed fraction from 16 evenly spaced probe "
+                        "images (exact if the probe precomputes spans) and packs "
+                        "when it saves >=15%%. The estimate is a sample: a probe "
+                        "whose density varies on exactly the sample stride can "
+                        "still mis-decide — force 'on'/'off' when you know the "
+                        "content")
+    p.add_argument("--naming", choices=("generated", "og"), default="generated",
+                   help="'og' writes CSV/args files under describe_og_neurons.py's "
+                        "exact hardcoded name matrix (for downstream Plots code "
+                        "keyed on those filenames); default generates a "
+                        "systematic stem")
     p.add_argument("--wandb", action="store_true",
                    help="log run config + status events to wandb (offline mode), "
                         "mirroring the reference driver's status stream "
@@ -111,6 +121,7 @@ def main(argv=None):
         resident=args.resident,
         deadline_s=args.deadline_s,
         wire_pack=args.wire_pack,
+        naming=args.naming,
     )
     if args.debug_nans:
         from mammodissect.utils.profiling import enable_debug_nans

@@ -131,6 +131,10 @@ class DissectConfig:
     # batch boundary once exceeded and the CSV covers the images harvested so far;
     # a rerun resumes from the spilled chunks and completes. None = unbounded.
     deadline_s: Optional[float] = None
+    # results naming: "generated" uses the systematic broad-driver stem
+    # (results.result_basename); "og" reproduces describe_og_neurons.py's own
+    # hardcoded CSV/args name matrix exactly (results.og_result_basename)
+    naming: str = "generated"
     # lossless wire packing for the resident harvest (dissect/packing.py): "auto"
     # samples the probe and packs when the packed fraction is <= 0.85 (mammograms
     # are ~40-60% exactly-black background), "on"/"off" force it. Reconstruction is
@@ -719,9 +723,19 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
     packed = (_decide_wire_pack(wire_pack, probe)
               and hasattr(dissector, "fused_resident_step_packed"))
     # the packed payload packs/ships per data-shard group ([D, L] sharded
-    # P('data')), so bucket sizes are PER SHARD
-    n_shards = (getattr(dissector, "resident_data_shards", lambda: 1)()
-                if packed else 1)
+    # P('data')), so bucket sizes are PER SHARD. The group count MUST come from
+    # the dissector itself (the same mesh its packed step shards over): a
+    # dissector that grows fused_resident_step_packed without declaring its
+    # data-shard count would get packed [1, L] against a step expecting [D, L]
+    # and fail only at jit call time with an opaque shape error (ADVICE r4).
+    n_shards = 1
+    if packed:
+        if not hasattr(dissector, "resident_data_shards"):
+            raise AttributeError(
+                f"{type(dissector).__name__} provides fused_resident_step_packed "
+                "but not resident_data_shards(); the packed wire's [D, L] leading "
+                "axis must match the step's data-shard count")
+        n_shards = int(dissector.resident_data_shards())
     if packed and batch_size % n_shards:
         raise ValueError(f"packed wire needs batch_size {batch_size} divisible "
                          f"by the mesh's data axis ({n_shards})")
@@ -790,14 +804,21 @@ def fused_harvest_embed_resident(dissector, probe, layers, pool_mode: str,
                 + f" ({n_images} images) from {cache_dir}")
 
     if packed:
-        fixed_group = (pack_fixed_len // n_shards) if pack_fixed_len else None
+        # pack_fixed_len is the TOTAL batch envelope; the per-shard bucket is the
+        # CEIL division (floor would undershoot when n_shards doesn't divide it
+        # and silently fall back to quantum bucketing — an unplanned mid-harvest
+        # recompile, ADVICE r4). Callers that know the max per-GROUP payload on
+        # an uneven mesh should pass pack_fixed_len = n_shards * that maximum.
+        fixed_group = -(-pack_fixed_len // n_shards) if pack_fixed_len else None
         batches = _prefetch_packed_batches(probe, batch_size, pack_quantum, cap_bytes,
                                            start=consumed, fixed_len=fixed_group,
                                            n_shards=n_shards)
         if log is not None:
             log("[resident] packed uint8 wire enabled"
                 + (f" ({n_shards} shard groups)" if n_shards > 1 else "")
-                + (f" (fixed bucket {pack_fixed_len} B)" if pack_fixed_len else ""))
+                + (f" (fixed bucket {fixed_group} B/shard"
+                   f" = ceil({pack_fixed_len}/{n_shards}))" if pack_fixed_len
+                   else ""))
     else:
         batches = ((u8, None, n_valid, None)
                    for u8, n_valid in _prefetch_u8_batches(probe, batch_size,

@@ -363,6 +363,10 @@ class BreastClip:
 
         def raw(v, *wire):
             u8 = decode(*wire)
+            # trace-time sanity: the wire decode must reconstruct exactly the
+            # batch canvas this step was built for (a mismatched decode closure
+            # would otherwise surface as a shape error deep in the conv tower)
+            assert tuple(u8.shape) == tuple(shape), (u8.shape, shape)
             x = u8.astype(jnp.float32) / 255.0
             lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
             hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)

@@ -115,9 +115,13 @@ def draw_boxes(image: np.ndarray, boxes: np.ndarray, value: float = 1.0,
 
 
 # per-concept label-column mapping (reference `MammoDataset_concept`'s 14-way concept
-# switch, `dataset_concepts.py:368-465`: each concept name selects its CSV column)
+# switch, `dataset_concepts.py:405-446`: each `args.concept.lower()` spelling selects
+# its CSV column; the aligner-bin concepts clip_v1/mark_v1/mole_v1/scar_v1 select the
+# upper-cased bin columns of the aligner CSVs). Extra convenience aliases
+# (calcification, scar, density, birads, cancer) are ours.
 CONCEPT_COLUMNS = {
     "mass": "Mass",
+    "suspicious_calcification": "Suspicious_Calcification",
     "calcification": "Suspicious_Calcification",
     "focal_asymmetry": "Focal_Asymmetry",
     "architectural_distortion": "Architectural_Distortion",
@@ -127,6 +131,10 @@ CONCEPT_COLUMNS = {
     "nipple_retraction": "Nipple_Retraction",
     "global_asymmetry": "Global_Asymmetry",
     "asymmetry": "Asymmetry",
+    "clip_v1": "CLIP_V1",
+    "mark_v1": "MARK_V1",
+    "mole_v1": "MOLE_V1",
+    "scar_v1": "SCAR_V1",
     "density": "density",
     "birads": "breast_birads",
     "cancer": "cancer",

@@ -174,3 +174,49 @@ class TestDetection:
         assert ds.label(0) == 1
         with pytest.raises(KeyError):
             concept_dataset(df, "calcification", root=root)
+
+
+class TestConceptSpellings:
+    # every `args.concept.lower()` spelling the reference's MammoDataset_concept
+    # switch accepts (`Datasets/dataset_concepts.py:405-446`), with its CSV column
+    REFERENCE_SPELLINGS = {
+        "clip_v1": "CLIP_V1",
+        "mark_v1": "MARK_V1",
+        "mole_v1": "MOLE_V1",
+        "scar_v1": "SCAR_V1",
+        "architectural_distortion": "Architectural_Distortion",
+        "asymmetry": "Asymmetry",
+        "focal_asymmetry": "Focal_Asymmetry",
+        "global_asymmetry": "Global_Asymmetry",
+        "mass": "Mass",
+        "nipple_retraction": "Nipple_Retraction",
+        "skin_retraction": "Skin_Retraction",
+        "skin_thickening": "Skin_Thickening",
+        "suspicious_calcification": "Suspicious_Calcification",
+        "suspicious_lymph_node": "Suspicious_Lymph_Node",
+    }
+
+    def test_every_reference_spelling_resolves(self, img_csv):
+        from mammodissect.train.detection_data import CONCEPT_COLUMNS, concept_dataset
+
+        _, root, df = img_csv
+        df = df.copy()
+        for concept, col in self.REFERENCE_SPELLINGS.items():
+            assert CONCEPT_COLUMNS.get(concept) == col, concept
+            ds = concept_dataset(df.assign(**{col: 1}), concept,
+                                 root=root, size_hw=(40, 30))
+            assert ds.label(0) == 1, concept
+
+    def test_switch_matches_reference_source(self):
+        # cross-check against the reference tree when present (CI has it): the
+        # elif chain is the ground truth for the accepted spellings
+        import os
+        import re
+
+        src = "/root/reference/Datasets/dataset_concepts.py"
+        if not os.path.exists(src):
+            pytest.skip("reference tree not present")
+        with open(src) as f:
+            text = f.read()
+        found = set(re.findall(r"concept\.lower\(\) == '([a-z_0-9]+)'", text))
+        assert found == set(self.REFERENCE_SPELLINGS)

@@ -88,3 +88,75 @@ def test_golden_csv_bytes(tmp_path):
     assert got_keys == want_keys, (
         "args.txt key set changed — downstream run-metadata consumers key on these"
     )
+
+
+class TestOgNamingMatrix:
+    """The og driver's hardcoded artifact-name matrix, 1:1 against
+    `concept_vit/describe_og_neurons.py:129-147` (VERDICT r4 missing #2)."""
+
+    # (breast_clip_ckpt, finetuned_ckpt, d_probe) -> (csv filename, args filename)
+    # — the expected strings are copied verbatim from the reference source
+    CASES = {
+        ("ckpt", "ft", "vindr"): (
+            "clip_dissector_vindr_den_finetuned_breast_clip_classifier_descriptions.csv",
+            "clip_dissector_vindr_den_finetuned_breast_clip_classifier_descriptions_args.txt"),
+        ("ckpt", None, "vindr"): (
+            "clip_dissector_vindr_mammo_pretrained_breast_clip_classifier_descriptions.csv",
+            "clip_dissector_vindr_mammo_pretrained_breast_clip_classifier_descriptions_args.txt"),
+        ("ckpt", None, "imagenet_subsets"): (
+            "clip_dissector_imagenet_subsets_small_mammo_pretrained_breast_clip_classifier_descriptions.csv",
+            "clip_dissector_imagenet_subsets_small_mammo_pretrained_breast_clip_classifier_descriptions_args.txt"),
+        (None, None, "vindr"): (
+            "clip_dissector_vindr_not_mammo_pretrained_breast_clip_descriptions.csv",
+            "clip_dissector_vindr_not_mammo_pretrained_breast_clip_descriptions_args.txt"),
+        # the reference's own csv/args stem MISMATCH, reproduced faithfully
+        (None, None, "imagenet_subsets"): (
+            "clip_dissector_clip_target_imagenet_subsets_small_not_mammo_pretrained_clip_descriptions.csv",
+            "clip_dissector_clip_target_imagenet_subsets_small_not_mammo_pretrained_breast_clip_descriptions_args.txt"),
+    }
+
+    def test_matrix_matches_reference(self):
+        from mammodissect.dissect.results import og_result_basename
+
+        for (ckpt, ft, probe), (csv_name, args_name) in self.CASES.items():
+            cfg = DissectConfig(d_probe=probe, breast_clip_ckpt=ckpt,
+                                finetuned_ckpt=ft, naming="og")
+            stem, args_stem = og_result_basename(cfg)
+            assert stem + ".csv" == csv_name, (ckpt, ft, probe)
+            assert args_stem + ".txt" == args_name, (ckpt, ft, probe)
+
+    def test_names_verbatim_in_reference_source(self):
+        src = "/root/reference/concept_vit/describe_og_neurons.py"
+        if not os.path.exists(src):
+            pytest.skip("reference tree not present")
+        with open(src) as f:
+            text = f.read()
+        for csv_name, args_name in self.CASES.values():
+            assert csv_name in text and args_name in text
+
+    def test_write_results_og_mode(self, tmp_path):
+        from mammodissect.dissect.results import write_results
+
+        cfg = DissectConfig(d_probe="vindr", breast_clip_ckpt="x.tar",
+                            result_dir=str(tmp_path), naming="og")
+        outputs = {"unit": [0], "layer": ["blocks.0"], "description": [["mass"]],
+                   "similarity": [[0.5]], "images": [[1, 2]]}
+        _, csv_path = write_results(outputs, cfg)
+        assert os.path.basename(csv_path) == self.CASES[("ckpt", None, "vindr")][0]
+        run_dir = os.path.dirname(csv_path)
+        assert self.CASES[("ckpt", None, "vindr")][1] in os.listdir(run_dir)
+
+
+def test_clip_target_cache_names_disjoint():
+    """CLIP-as-target cache files never collide with the CLIP-dissector's image-
+    feature cache: target names always embed `_{layer}{pool-suffix}` while the
+    dissector image cache has no layer component. This is the property the
+    reference protects with its hardcoded path override for target_name == "clip"
+    (`concept_vit/og_utils.py:456-457`); our systematic scheme needs no override."""
+    from mammodissect.dissect.engine import get_save_names
+
+    target, clip, text = get_save_names(
+        clip_name="clip", target_name="clip", target_layer="blocks.0",
+        d_probe="imagenet_subsets", concept_set="/a/concepts.txt",
+        pool_mode="avg", save_dir="acts")
+    assert len({target, clip, text}) == 3
