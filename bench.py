@@ -58,6 +58,11 @@ def _process_age_s() -> float:
 
 
 T_PROC = time.monotonic() - _process_age_s()
+# module import happens AFTER sitecustomize's TPU-grant acquisition, so the gap
+# between process start and this line is the grant wait (+ trivial numpy import):
+# the r4 driver capture lost ~1,100 s before the first harvested image with no
+# ledger saying where — every stage now reports into detail.setup_ledger
+T_IMPORT = time.monotonic()
 
 
 class CyclicProbe:
@@ -86,6 +91,16 @@ class CyclicProbe:
 
             return row_spans(self.pool[i % len(self.pool)])
         return self._spans[i % len(self.pool)]
+
+    def exact_pack_fraction(self):
+        """Exact packed-wire fraction over the pool (spans are precomputed): the
+        wire_pack=auto decision never rides a sample here."""
+        if self._spans is None:
+            return None
+        h, w = self.pool.shape[1:3]
+        c = self.pool.shape[3]
+        payload = sum(int(s[1].sum()) for s in self._spans) * c
+        return (payload + len(self._spans) * h * 2 * 4) / (len(self._spans) * h * w * c)
 
 
 def make_mammo_pool(pool_n: int, h: int, w: int):
@@ -125,6 +140,135 @@ def make_mammo_pool(pool_n: int, h: int, w: int):
 
 def note(msg):
     print(f"[bench {time.strftime('%T')}] {msg}", file=sys.stderr, flush=True)
+
+
+def _pool_path(cache_dir: str, pool_n: int, h: int, w: int) -> str:
+    # distinct from the `{cache_key}_*` chunk-spill namespace the cache-clean
+    # wipe globs — the pool is INPUT data, wiping it would be pointless work
+    return os.path.join(cache_dir, f"pool_{pool_n}x{h}x{w}_v1.npz")
+
+
+def load_or_make_pool(cache_dir: str, pool_n: int, h: int, w: int):
+    """Pool generation cost ~3-6 min of the r4 capture's invisible pre-harvest
+    time (1-vCPU host). The pool content is measurement-neutral (any pool with
+    the real sparsity envelope is equivalent), so persist it: an in-round run
+    writes the file once and every later capture — including the driver's —
+    starts its harvest minutes earlier. Bonus: a shared pool pins
+    pack_fixed_len across runs, so the persistent XLA cache hits the packed
+    step's exact program.
+
+    Returns (pool, spans, fill_fraction, source)."""
+    path = _pool_path(cache_dir, pool_n, h, w)
+    try:
+        with np.load(path) as z:
+            pool = z["pool"]
+            starts, lengths = z["starts"], z["lengths"]
+            fill = float(z["fill"])
+        spans = [(starts[i], lengths[i]) for i in range(pool.shape[0])]
+        return pool, spans, fill, "disk"
+    except (OSError, KeyError, ValueError):
+        pass
+    pool, spans, fill = make_mammo_pool(pool_n, h, w)
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        tmp = path + f".tmp{os.getpid()}.npz"  # .npz suffix: savez must not rename it
+        np.savez(tmp, pool=pool,
+                 starts=np.stack([s[0] for s in spans]),
+                 lengths=np.stack([s[1] for s in spans]),
+                 fill=np.float64(fill))
+        os.replace(tmp, path)
+    except OSError:
+        pass
+    return pool, spans, fill, "generated"
+
+
+def _chip_ab_path(cache_dir: str, h: int, w: int, batch_size: int) -> str:
+    return os.path.join(cache_dir, f"chip_ab_{h}x{w}_b{batch_size}_v1.json")
+
+
+def _load_chip_ab(cache_dir: str, h: int, w: int, batch_size: int) -> dict:
+    try:
+        with open(_chip_ab_path(cache_dir, h, w, batch_size)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return {}
+
+
+def _save_chip_ab(cache_dir: str, h: int, w: int, batch_size: int, ab: dict):
+    """Persist the chip-side A/B rates: they depend only on geometry (not on the
+    relay), so a capture that skips the measurement for budget can still publish
+    the in-round measured value, labeled with where it came from."""
+    try:
+        os.makedirs(cache_dir, exist_ok=True)
+        path = _chip_ab_path(cache_dir, h, w, batch_size)
+        tmp = path + f".tmp{os.getpid()}"
+        with open(tmp, "w") as f:
+            json.dump(ab, f)
+        os.replace(tmp, path)
+    except OSError:
+        pass
+
+
+def measure_chip_ab(dissector, pool, pool_spans, pack_fixed_len, batch_size,
+                    h, w, layers, mean, std, budget_s: float) -> dict:
+    """Chip-side forward+embed rates with device-resident input (no wire): what a
+    real PCIe-attached host would see. PACKED first — its step program is already
+    compiled (the harvest used it), so it costs only 9 steps; the UNPACKED step
+    needs its own remote compile and only runs when `budget_s` allows (~300 s)."""
+    import jax
+    import jax.numpy as jnp
+
+    from mammodissect.dissect.packing import pack_batch, pad_flat
+
+    out = {}
+    t_end = time.monotonic() + budget_s
+    n_chip_batches = 8
+
+    def _accs(widths):
+        # fresh per section: the steps DONATE their accumulators, so a cached
+        # reference would be a deleted buffer by the second section
+        return (jnp.zeros((16 * batch_size, int(sum(widths))), jnp.float32),
+                jnp.zeros((16 * batch_size, int(dissector.module.proj_dim)),
+                          jnp.float32))
+
+    # packed step: cached jit from the harvest — measurement only
+    step_p, _n, widths = dissector.fused_resident_step_packed(
+        (batch_size, h, w, 1), pack_fixed_len, layers, "avg", mean, std)
+    a, e = _accs(widths)
+    flat_np, meta_np = pack_batch(pool[:batch_size], spans=pool_spans[:batch_size])
+    flat_dev = jax.device_put(pad_flat(flat_np, pack_fixed_len)[None, :])  # D=1
+    meta_dev = jax.device_put(meta_np)
+    a, e = step_p(dissector.variables, a, e, flat_dev, meta_dev, jnp.int32(0))
+    _ = np.asarray(e[0, :1])
+    t0 = time.perf_counter()
+    for i in range(n_chip_batches):
+        a, e = step_p(dissector.variables, a, e, flat_dev, meta_dev,
+                      jnp.int32((i % 16) * batch_size))
+    _ = np.asarray(e[0, :1])
+    out["chip_side_packed_forward_img_per_s"] = round(
+        n_chip_batches * batch_size / (time.perf_counter() - t0), 1)
+    del flat_dev, meta_dev
+    note(f"chip-side packed forward+embed: "
+         f"{out['chip_side_packed_forward_img_per_s']} img/s")
+
+    if time.monotonic() < t_end - 240:  # unpacked step: fresh remote compile
+        step, _names, widths = dissector.fused_resident_step(
+            (batch_size, h, w, 1), layers, "avg", mean, std)
+        a, e = _accs(widths)
+        u8_dev = jax.device_put(np.ascontiguousarray(pool[:batch_size]).reshape(-1))
+        a, e = step(dissector.variables, a, e, u8_dev, jnp.int32(0))
+        _ = np.asarray(e[0, :1])
+        t0 = time.perf_counter()
+        for i in range(n_chip_batches):
+            a, e = step(dissector.variables, a, e, u8_dev,
+                        jnp.int32((i % 16) * batch_size))
+        _ = np.asarray(e[0, :1])
+        out["chip_side_forward_img_per_s"] = round(
+            n_chip_batches * batch_size / (time.perf_counter() - t0), 1)
+        del u8_dev
+        note(f"chip-side forward+embed: {out['chip_side_forward_img_per_s']} img/s")
+    out["measured_at"] = time.strftime("%Y-%m-%dT%H:%M:%S")
+    return out
 
 
 def _wipe_cache(cache_dir: str, cache_key: str) -> int:
@@ -338,15 +482,31 @@ def summarize_timing(timing, tail_n=64):
 
 
 def main():
-    from mammodissect.utils.jit_cache import enable_compilation_cache
+    # stage-elapsed ledger (VERDICT r4 weak #1): every pre-harvest second must be
+    # attributable in the final JSON — the fields sum to ~elapsed_s (other_s is
+    # the reported remainder)
+    ledger = {"grant_wait_s": round(T_IMPORT - T_PROC, 1)}
+    t_stage = time.monotonic()
 
-    enable_compilation_cache()  # amortize the cold-compile across runs
+    def stage_done(name):
+        nonlocal t_stage
+        now = time.monotonic()
+        ledger[name] = round(now - t_stage, 1)
+        t_stage = now
 
     import jax
     import jax.numpy as jnp
 
+    # platform override FIRST: enable_compilation_cache touches
+    # jax.default_backend(), which INITIALIZES the backend — with the axon
+    # plugin that means acquiring the TPU grant, so a cpu smoke run must set
+    # jax_platforms before any backend-touching call
     if os.environ.get("BENCH_PLATFORM"):  # test-only: e.g. cpu logic smoke
         jax.config.update("jax_platforms", os.environ["BENCH_PLATFORM"])
+
+    from mammodissect.utils.jit_cache import enable_compilation_cache
+
+    enable_compilation_cache()  # amortize the cold-compile across runs
 
     from mammodissect.dissect.dissectors import get_dissector
     from mammodissect.dissect.engine import (
@@ -377,14 +537,20 @@ def main():
     import warnings
 
     warnings.filterwarnings("ignore", message=".*toy WordPiece.*")
+    stage_done("jax_import_s")
     dissector = get_dissector(
         "breastclip", image_shape=(h, w, 1), bert_layers=12, dtype=jnp.bfloat16
     )
+    stage_done("model_build_s")
 
-    note("generating pool (mammogram-shaped: ~40-60% black background)")
+    note("pool (mammogram-shaped: ~40-60% black background)")
     PROGRESS["stage"] = "pool"
-    pool, pool_spans, fill_fraction = make_mammo_pool(pool_n, h, w)
-    note(f"pool fill fraction {fill_fraction:.3f}")
+    pool, pool_spans, fill_fraction, pool_source = load_or_make_pool(
+        cache_dir, pool_n, h, w)
+    stage_done("pool_s")
+    ledger["pool_source"] = pool_source
+    note(f"pool fill fraction {fill_fraction:.3f} ({pool_source}, "
+         f"{ledger['pool_s']}s)")
 
     # packed-wire bucket: ONE static flat length covering every batch of the run
     # (batches cycle the pool in order, so the per-batch payload is precomputable) —
@@ -404,7 +570,11 @@ def main():
     # warmup/compile: one chunk's worth through the PACKED resident step (the step
     # program is probe-size independent — fixed-capacity chunks; the warm batch is
     # the run's first pool batch so it compiles the run's exact bucket), includes
-    # remote-compile warmup
+    # remote-compile warmup. This is the ONLY pre-harvest device work: the
+    # chip-side A/B measurements moved AFTER the timed harvest (VERDICT r4 #1 —
+    # they cost an extra remote compile + measurement loops that starved the r4
+    # capture's harvest window; deferred, they publish from the same process when
+    # budget allows and load the in-round persisted measurement when it doesn't).
     note("warmup/compile")
     warm = CyclicProbe(pool, batch_size, mean, std, spans=pool_spans)
     t0 = time.perf_counter()
@@ -417,60 +587,18 @@ def main():
         np.ones((n_concepts, 64), np.int32), np.ones((n_concepts, 64), np.int32)
     )
     compile_s = time.perf_counter() - t0
-
-    # ---- chip-side compute rate: device-resident input, no wire ----
-    # the forward+embed throughput the chip itself sustains (what a real PCIe-attached
-    # host would see; this env's relay throttles to ~12-15 MB/s after a ~2.7 GB burst)
-    step, _names, _widths = dissector.fused_resident_step(
-        (batch_size, h, w, 1), layers, "avg", mean, std)
-    u8_dev = jax.device_put(
-        np.ascontiguousarray(pool[:batch_size]).reshape(-1))
-    acc_a = jnp.zeros((16 * batch_size, int(sum(_widths))), jnp.float32)
-    acc_e = jnp.zeros((16 * batch_size, int(dissector.module.proj_dim)), jnp.float32)
-    acc_a, acc_e = step(dissector.variables, acc_a, acc_e, u8_dev, jnp.int32(0))
-    _ = np.asarray(acc_e[0, :1])
-    n_chip_batches = 8
-    t0 = time.perf_counter()
-    for i in range(n_chip_batches):
-        acc_a, acc_e = step(dissector.variables, acc_a, acc_e, u8_dev,
-                            jnp.int32((i % 16) * batch_size))
-    _ = np.asarray(acc_e[0, :1])
-    chip_side_rate = n_chip_batches * batch_size / (time.perf_counter() - t0)
-    del u8_dev
-    note(f"chip-side forward+embed: {chip_side_rate:.1f} img/s")
-
-    # chip-side rate of the PACKED step (device-resident flat+meta, no wire): the
-    # in-jit gather reconstruction's compute cost, measured not assumed
-    from mammodissect.dissect.packing import pack_batch, pad_flat
-
-    step_p, *_ = dissector.fused_resident_step_packed(
-        (batch_size, h, w, 1), pack_fixed_len, layers, "avg", mean, std)
-    flat_np, meta_np = pack_batch(pool[:batch_size],
-                                  spans=pool_spans[:batch_size])
-    # wire format is [D, L] per data-shard group; single chip => D=1
-    flat_dev = jax.device_put(pad_flat(flat_np, pack_fixed_len)[None, :])
-    meta_dev = jax.device_put(meta_np)
-    acc_a, acc_e = step_p(dissector.variables, acc_a, acc_e, flat_dev, meta_dev,
-                          jnp.int32(0))
-    _ = np.asarray(acc_e[0, :1])
-    t0 = time.perf_counter()
-    for i in range(n_chip_batches):
-        acc_a, acc_e = step_p(dissector.variables, acc_a, acc_e, flat_dev, meta_dev,
-                              jnp.int32((i % 16) * batch_size))
-    _ = np.asarray(acc_e[0, :1])
-    chip_side_packed_rate = n_chip_batches * batch_size / (time.perf_counter() - t0)
-    del acc_a, acc_e, flat_dev, meta_dev
-    note(f"chip-side packed forward+embed: {chip_side_packed_rate:.1f} img/s")
+    stage_done("warmup_compile_s")
     partial_record(stage="warmup_done", compile_s=round(compile_s, 1),
-                   chip_side_forward_img_per_s=round(float(chip_side_rate), 1),
                    elapsed_s=round(time.monotonic() - T_PROC, 1))
 
     # ---- timed: the 10k-image harvest through the resident engine path, bounded by
     # the wall-clock budget; completed chunks spill to the cache (resume on rerun) ----
     harvest_deadline = T_PROC + deadline_s - score_reserve_s
     PROGRESS["stage"] = "harvest"
+    ledger["harvest_start_elapsed_s"] = round(time.monotonic() - T_PROC, 1)
     note(f"timed harvest of {n_images} "
-         f"(budget {harvest_deadline - time.monotonic():.0f}s)")
+         f"(budget {harvest_deadline - time.monotonic():.0f}s; "
+         f"pre-harvest ledger {ledger})")
     probe = CyclicProbe(pool, n_images, mean, std, spans=pool_spans)
     cache_key = f"bench_{n_images}x{h}x{w}_b{batch_size}_pk"
     # CACHE-CLEAN published number (VERDICT r3 weak #1): the r03 capture resumed
@@ -548,6 +676,8 @@ def main():
                    harvest_s=round(harvest_s, 1),
                    elapsed_s=round(time.monotonic() - T_PROC, 1))
 
+    stage_done("harvest_wall_s")
+
     # ---- timed: concept-text embedding through the real BERT tower ----
     PROGRESS["stage"] = "text_embed"
     t0 = time.perf_counter()
@@ -572,12 +702,40 @@ def main():
     score_s = time.perf_counter() - t0
     assert top_idx.shape[0] == sum(widths) and np.isfinite(top_vals).all()
 
+    stage_done("text_score_s")
+
     # e2e rate over the images actually processed THIS run (resumed chunks came from
     # disk, not the wire — counting them would inflate the measured rate)
     n_rate = max(n_fresh if n_resumed else n_seen, 1)
     harvest_rate = min(n_rate, n_seen) / harvest_s
     total_s = harvest_s + text_s + score_s
     value = min(n_rate, n_seen) / total_s
+
+    # ---- chip-side A/B: AFTER the timed harvest (it no longer eats the capture's
+    # harvest window); measured fresh when budget allows, else loaded from the
+    # in-round persisted measurement ----
+    PROGRESS["stage"] = "chip_ab"
+    remaining = T_PROC + deadline_s - time.monotonic()
+    ab_min_s = float(os.environ.get("BENCH_CHIP_AB_MIN_S", 60))
+    ab = {}
+    if remaining >= ab_min_s:
+        try:
+            ab = measure_chip_ab(dissector, pool, pool_spans, pack_fixed_len,
+                                 batch_size, h, w, layers, mean, std,
+                                 budget_s=remaining - 30)
+            cached = _load_chip_ab(cache_dir, h, w, batch_size)
+            _save_chip_ab(cache_dir, h, w, batch_size, {**cached, **ab})
+            ab["chip_ab_source"] = "measured_this_run"
+        except Exception as e:  # noqa: BLE001 — decoration must not kill the number
+            note(f"chip A/B failed ({type(e).__name__}: {e}); using cached values")
+            ab = {}
+    if not ab:
+        ab = _load_chip_ab(cache_dir, h, w, batch_size)
+        ab["chip_ab_source"] = (f"cached_{ab['measured_at']}" if "measured_at" in ab
+                                else "unavailable")
+    chip_side_rate = ab.get("chip_side_forward_img_per_s")
+    chip_side_packed_rate = ab.get("chip_side_packed_forward_img_per_s")
+    stage_done("chip_ab_s")
 
     # v5e-8 projection (the north-star's actual hardware): each chip's host uploads
     # n/8 of the probe — valid for the PACKED wire because the payload packs per
@@ -591,9 +749,20 @@ def main():
     per_chip_images = 10_000 / 8  # the north-star workload, regardless of BENCH_N_IMAGES
     wire_bytes_total = int(sum(t.get("wire_bytes", 0) for t in timing))
     wire_per_image = wire_bytes_total / max(n_fresh, 1)
-    per_chip_upload_s = per_chip_images * wire_per_image / (50e6)
-    per_chip_compute_s = per_chip_images / min(chip_side_rate, chip_side_packed_rate)
-    v5e8_s = max(per_chip_upload_s, per_chip_compute_s) + text_s + score_s
+    v5e8_s = None
+    chip_rates = [r for r in (chip_side_rate, chip_side_packed_rate) if r]
+    if chip_rates:
+        per_chip_upload_s = per_chip_images * wire_per_image / (50e6)
+        per_chip_compute_s = per_chip_images / min(chip_rates)
+        v5e8_s = round(
+            max(per_chip_upload_s, per_chip_compute_s) + text_s + score_s, 1)
+    elapsed_total = time.monotonic() - T_PROC
+    # every duration field must sum to ~elapsed_s; harvest_start_elapsed_s is a
+    # TIMESTAMP (cross-check: it should equal the pre-harvest durations' sum)
+    ledger["other_s"] = round(
+        elapsed_total - sum(v for k, v in ledger.items()
+                            if isinstance(v, (int, float))
+                            and k != "harvest_start_elapsed_s"), 1)
     result = {
         "metric": "dissect_images_per_sec_per_chip",
         "value": round(float(value), 2),
@@ -607,19 +776,22 @@ def main():
             "wire_fraction_of_raw": round(wire_per_image / (h * w), 4),
             "pool_fill_fraction": round(float(fill_fraction), 4),
             "pack_fixed_len": pack_fixed_len,
-            "chip_side_packed_forward_img_per_s": round(float(chip_side_packed_rate), 1),
+            "chip_side_packed_forward_img_per_s": chip_side_packed_rate,
             "deadline_s": deadline_s,
             "deadline_hit": n_seen < n_images,
             "harvest_s": round(harvest_s, 1),
             "harvest_img_per_s": round(float(harvest_rate), 2),
             "rate_to_2048_img_per_s": PROGRESS.get("rate_to_2048_img_per_s"),
-            "chip_side_forward_img_per_s": round(float(chip_side_rate), 1),
-            "v5e8_projected_10k_wall_s": round(float(v5e8_s), 1),
+            "chip_side_forward_img_per_s": chip_side_rate,
+            "chip_ab_source": ab.get("chip_ab_source"),
+            "v5e8_projected_10k_wall_s": v5e8_s,
             "text_embed_s": round(text_s, 2),
             "score_all_39_layers_s": round(score_s, 2),
             "total_dissection_s": round(total_s, 1),
             "compile_s": round(compile_s, 1),
             "score_compile_s": round(score_compile_s, 1),
+            "setup_ledger": ledger,
+            "elapsed_s": round(elapsed_total, 1),
             "batch_timing": summarize_timing(timing),
             "image_size": [h, w],
             "batch_size": batch_size,

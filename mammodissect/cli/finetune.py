@@ -60,6 +60,17 @@ def build_parser():
                    help="checkpoint dir to resume training from (params+opt_state+epoch)")
     p.add_argument("--model-parallel", dest="model_parallel", type=int, default=1)
     p.add_argument("--dtype", default="bfloat16", choices=["bfloat16", "float32"])
+    p.add_argument("--pad-mode", "--pad_mode", dest="pad_mode", default="static",
+                   choices=["static", "same"],
+                   help="conv padding: 'static' reproduces torch TF-SAME at the "
+                        "B5 geometry; 'same' for toy geometries far from the "
+                        "traced chain")
+    p.add_argument("--input-wire", "--input_wire", dest="input_wire",
+                   default="u8", choices=["u8", "f32"],
+                   help="host->device image wire: 'u8' ships post-transform "
+                        "uint8 batches (4x fewer bytes; min-max + mean/std run "
+                        "on device — the reference's own pre-normalize contract "
+                        "is uint8); 'f32' ships host-normalized floats")
     p.add_argument("--bn-momentum", dest="bn_momentum", type=float, default=0.99,
                    help="lower (e.g. 0.9) for short runs so BN running stats converge")
     p.add_argument("--print-freq", dest="print_freq", type=int, default=50)
@@ -108,6 +119,8 @@ def main(argv=None):
         resume_from=args.resume_from,
         model_parallel=args.model_parallel,
         dtype=args.dtype,
+        pad_mode=args.pad_mode,
+        input_wire=args.input_wire,
         bn_momentum=args.bn_momentum,
         print_freq=args.print_freq,
         log_freq=args.log_freq,

@@ -56,8 +56,14 @@ class ImageTextDataset:
     prompt_json: Optional[Dict] = None  # generate text from *_FINDING labels
     image_view_aug: bool = True  # emit a second image view
     seed: int = 0
+    # 'u8': ship post-transform uint8 images (1 B/px wire; the pretrain loop
+    # normalizes on device) — the reference's own contract keeps images uint8
+    # through the transforms (see ops/normalize.py)
+    wire: str = "f32"
 
     def __post_init__(self):
+        if self.wire not in ("f32", "u8"):
+            raise ValueError(f"wire must be 'f32' or 'u8', got {self.wire!r}")
         self._rng = np.random.default_rng(self.seed)
         self.image_shape = (self.size_hw[0], self.size_hw[1], 1)
 
@@ -70,10 +76,14 @@ class ImageTextDataset:
         return os.path.join(self.root, self.img_dir, str(patient_id), image_id)
 
     def _load(self, path: str, train: bool) -> np.ndarray:
+        if self.wire == "u8" and not train:
+            return T.load_image_u8_resized(path, self.size_hw)
         arr = T.load_image(path, grayscale=True)
         if train:
             arr = T.resize(arr, self.size_hw)
             arr = T.augment_train(arr, self._rng)
+            if self.wire == "u8":
+                return T.to_u8(arr)
             return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
         return T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
 

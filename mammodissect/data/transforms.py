@@ -47,6 +47,16 @@ def load_image_u8_resized(path: str, size_hw: tuple[int, int]) -> np.ndarray:
     return arr[..., None]
 
 
+def to_u8(arr: np.ndarray) -> np.ndarray:
+    """Quantize a [0, 1] float image to uint8 — the reference's implicit contract:
+    its albumentations transforms are uint8-in/uint8-out, so every image IS uint8
+    until the final normalize (`Datasets/dataset_concepts.py:206-215`). Applied
+    after our float-precision augmentations, this is at least as precise as the
+    reference's per-transform uint8 rounding, and it makes the post-augment
+    train batch a 1-byte wire."""
+    return np.rint(np.clip(arr, 0.0, 1.0) * 255.0).astype(np.uint8)
+
+
 def resize(arr: np.ndarray, size_hw: tuple[int, int], method: str = "bilinear") -> np.ndarray:
     """Resize HWC float array via PIL (bilinear for mammo pipeline, bicubic for CLIP)."""
     h, w = size_hw

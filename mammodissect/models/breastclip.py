@@ -362,16 +362,14 @@ class BreastClip:
             return self._jit_cache[key]
 
         def raw(v, *wire):
+            from mammodissect.ops.normalize import u8_minmax_meanstd
+
             u8 = decode(*wire)
             # trace-time sanity: the wire decode must reconstruct exactly the
             # batch canvas this step was built for (a mismatched decode closure
             # would otherwise surface as a shape error deep in the conv tower)
             assert tuple(u8.shape) == tuple(shape), (u8.shape, shape)
-            x = u8.astype(jnp.float32) / 255.0
-            lo = jnp.min(x, axis=(1, 2, 3), keepdims=True)
-            hi = jnp.max(x, axis=(1, 2, 3), keepdims=True)
-            x = jnp.where(hi > lo, (x - lo) / (hi - lo), 0.0)
-            x = (x - mean) / std
+            x = u8_minmax_meanstd(u8, mean, std)
             pooled, captured = self.module.apply(
                 v, x, train=False, capture=capture, pool_mode=pool_mode,
                 method=BreastClipModule.encode_image,

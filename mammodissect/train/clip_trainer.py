@@ -23,11 +23,26 @@ from mammodissect.train.losses import clip_contrastive_loss
 
 
 def make_clip_train_step(module, tx, label_smoothing: float = 0.0,
-                         i2i_weight: float = 1.0, t2t_weight: float = 0.5):
+                         i2i_weight: float = 1.0, t2t_weight: float = 0.5,
+                         input_wire: str = "f32", norm_mean: float = 0.0,
+                         norm_std: float = 1.0):
     """Returns step(params, batch_stats, opt_state, batch, rng) ->
-    (params, batch_stats, opt_state, loss). Jit it with shardings from the caller."""
+    (params, batch_stats, opt_state, loss). Jit it with shardings from the caller.
+
+    input_wire='u8': batch images/image_views arrive as post-transform uint8
+    (4x fewer host->device bytes) and are min-max + mean/std normalized INSIDE
+    the step (ops/normalize.u8_minmax_meanstd — the reference's own pre-normalize
+    contract is uint8, so numerics are unchanged)."""
 
     def step(params, batch_stats, opt_state, batch, rng):
+        if input_wire == "u8":
+            from mammodissect.ops.normalize import u8_minmax_meanstd
+
+            batch = dict(batch)
+            for k in ("images", "image_views"):
+                if k in batch:
+                    batch[k] = u8_minmax_meanstd(batch[k], norm_mean, norm_std)
+
         def loss_fn(p):
             out, mutated = module.apply(
                 {"params": p, "batch_stats": batch_stats},

@@ -29,8 +29,16 @@ class ClassifierDataset:
     std: float = T.VINDR_STD
     train: bool = False
     seed: int = 0
+    # 'f32': host-normalized float batches (4 B/px wire). 'u8': post-transform
+    # uint8 batches (1 B/px wire), normalized on device by the trainer
+    # (Trainer(input_wire='u8', norm_mean=..., norm_std=...)) — the reference's
+    # own contract keeps images uint8 through the transforms and normalizes at
+    # tensor conversion, so this changes the wire, not the recipe.
+    wire: str = "f32"
 
     def __post_init__(self):
+        if self.wire not in ("f32", "u8"):
+            raise ValueError(f"wire must be 'f32' or 'u8', got {self.wire!r}")
         self._rng = np.random.default_rng(self.seed)
         self.image_shape = (self.size_hw[0], self.size_hw[1], 1)
 
@@ -41,10 +49,16 @@ class ClassifierDataset:
         import os
 
         path = os.path.join(self.root, str(self.df.iloc[i][self.image_col]))
+        if self.wire == "u8" and not self.train:
+            # eval u8 wire: uint8 load + uint8 resize, exactly the reference's
+            # pre-normalize eval pipeline (albumentations Resize on uint8)
+            return T.load_image_u8_resized(path, self.size_hw)
         arr = T.load_image(path, grayscale=True)
         if self.train:
             arr = T.resize(arr, self.size_hw)
             arr = T.augment_train(arr, self._rng)
+            if self.wire == "u8":
+                return T.to_u8(arr)
             return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
         # eval path: fused native resize+normalize when available
         return T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
@@ -118,6 +132,7 @@ def iter_epoch(
         order = order[host_index * shard_len : (host_index + 1) * shard_len]
         n = shard_len
     h, w, c = dataset.image_shape
+    img_dtype = np.uint8 if getattr(dataset, "wire", "f32") == "u8" else np.float32
     for start in range(0, n, batch_size):
         idx = order[start : start + batch_size]
         if drop_last and len(idx) < batch_size:
@@ -129,7 +144,7 @@ def iter_epoch(
             # "negatives" into BatchNorm statistics and—before the trainer's
             # n_valid loss mask—into the gradients themselves
             idx = np.resize(idx, batch_size)
-        imgs = np.zeros((batch_size, h, w, c), np.float32)
+        imgs = np.zeros((batch_size, h, w, c), img_dtype)
         labels = np.zeros((batch_size,), label_dtype)
         for j, i in enumerate(idx):
             imgs[j] = dataset.image(int(i))

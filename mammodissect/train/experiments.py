@@ -68,6 +68,12 @@ class FinetuneConfig:
     finetuned_ckpt_path: Optional[str] = None
     model_parallel: int = 1
     dtype: str = "bfloat16"
+    # host->device image wire. 'u8' (default): post-transform uint8 batches,
+    # min-max + mean/std on device — 4x fewer wire bytes AND closer to the
+    # reference than 'f32' (the reference resizes in uint8 and normalizes at
+    # tensor conversion, Datasets/dataset_concepts.py:206-215; our f32 path
+    # resizes in float). 'f32': host-normalized float batches.
+    input_wire: str = "u8"
     bn_momentum: float = 0.99  # lower for short fine-tunes so running stats converge
     pad_mode: str = "static"  # reference-faithful static SAME; "same" for toy geometries
     remat: bool = False  # rematerialize conv blocks: bigger batches at 1520x912
@@ -218,6 +224,7 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
     mk_ds = lambda df, train: ClassifierDataset(
         df, image_col=cfg.image_col, label_col=cfg.label, root=cfg.data_dir,
         size_hw=tuple(cfg.img_size), mean=cfg.mean, std=cfg.std, train=train, seed=cfg.seed,
+        wire=cfg.input_wire,
     )
     train_ds, valid_ds = mk_ds(train_folds, True), mk_ds(valid_folds, False)
 
@@ -246,7 +253,9 @@ def train_loop(cfg: FinetuneConfig, train_folds: pd.DataFrame, valid_folds: pd.D
     mesh = make_mesh(model_parallel=cfg.model_parallel) if jax.device_count() > 1 else None
     trainer = Trainer(module, variables, tx,
                       loss_kind="ce" if cfg.multiclass else "bce",
-                      pos_weight=pos_weight, mesh=mesh, seed=cfg.seed)
+                      pos_weight=pos_weight, mesh=mesh, seed=cfg.seed,
+                      input_wire=cfg.input_wire,
+                      norm_mean=cfg.mean, norm_std=cfg.std)
     start_epoch = 0
     if cfg.resume_from:
         from mammodissect.train.checkpoints import load_checkpoint
@@ -356,10 +365,12 @@ def inference_loop(cfg: FinetuneConfig, valid_folds: pd.DataFrame, log=print) ->
     mesh = make_mesh(model_parallel=cfg.model_parallel) if jax.device_count() > 1 else None
     trainer = Trainer(module, variables, tx,
                       loss_kind="ce" if cfg.multiclass else "bce", mesh=mesh,
-                      seed=cfg.seed)
+                      seed=cfg.seed, input_wire=cfg.input_wire,
+                      norm_mean=cfg.mean, norm_std=cfg.std)
     ds = ClassifierDataset(valid_folds, image_col=cfg.image_col, label_col=cfg.label,
                            root=cfg.data_dir, size_hw=tuple(cfg.img_size),
-                           mean=cfg.mean, std=cfg.std, train=False)
+                           mean=cfg.mean, std=cfg.std, train=False,
+                           wire=cfg.input_wire)
     label_dtype = np.int32 if cfg.multiclass else np.float32
     _, predictions = _run_eval(trainer, ds, cfg.batch_size, label_dtype)
     metrics = _epoch_metrics(cfg, valid_folds, predictions)

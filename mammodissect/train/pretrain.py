@@ -83,6 +83,11 @@ def pretrain(cfg: PretrainConfig, dataset, log=print) -> Dict:
         module, tx, mesh, tensor_parallel=tp, variables=variables,
         label_smoothing=cfg.label_smoothing, i2i_weight=cfg.i2i_weight,
         t2t_weight=cfg.t2t_weight,
+        # the dataset declares its wire: u8 datasets ship post-transform uint8
+        # and the step normalizes on device with the dataset's own constants
+        input_wire=getattr(dataset, "wire", "f32"),
+        norm_mean=getattr(dataset, "mean", 0.0),
+        norm_std=getattr(dataset, "std", 1.0),
     )
     if tp:
         p_shard = param_shardings(mesh, variables["params"], tensor_parallel=True)

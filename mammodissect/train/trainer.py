@@ -66,11 +66,26 @@ class Trainer:
         pos_weight: Optional[float] = None,
         mesh=None,
         seed: int = 0,
+        input_wire: str = "f32",  # 'f32' | 'u8'
+        norm_mean: float = 0.0,
+        norm_std: float = 1.0,
     ):
+        """input_wire='u8': batches cross the host->device wire as post-transform
+        uint8 (4x fewer bytes than f32) and the jitted step runs the min-max +
+        mean/std normalization on device (ops/normalize.u8_minmax_meanstd) —
+        exactly the reference recipe, which keeps images uint8 through the
+        albumentations transforms and normalizes only at tensor conversion
+        (`Datasets/dataset_concepts.py:206-215`). norm_mean/std are the dataset
+        normalization constants (only used for the u8 wire; f32 batches arrive
+        already normalized by the host pipeline)."""
+        if input_wire not in ("f32", "u8"):
+            raise ValueError(f"input_wire must be 'f32' or 'u8', got {input_wire!r}")
         self.module = module
         self.tx = tx
         self.loss_kind = loss_kind
         self.pos_weight = pos_weight
+        self.input_wire = input_wire
+        self.norm_mean, self.norm_std = float(norm_mean), float(norm_std)
         self.mesh = mesh if mesh is not None else make_mesh(jax.devices()[:1])
         self._key = jax.random.PRNGKey(seed)
 
@@ -96,15 +111,26 @@ class Trainer:
         return bce_with_logits(logits, labels, pos_weight=self.pos_weight,
                                weights=weights)
 
+    def _prep_images(self, images):
+        """u8 wire: normalize INSIDE the jit (the fused multiply-adds are free
+        next to the conv tower; the win is the 4x-smaller host->device put)."""
+        if self.input_wire == "u8":
+            from mammodissect.ops.normalize import u8_minmax_meanstd
+
+            return u8_minmax_meanstd(images, self.norm_mean, self.norm_std)
+        return images
+
     def _build_train_step(self):
         module, tx = self.module, self.tx
         b_shard = batch_sharding(self.mesh)
 
         def step(params, batch_stats, opt_state, images, labels, weights, rng):
+            images_f = self._prep_images(images)
+
             def loss_fn(p):
                 out, mutated = module.apply(
                     {"params": p, "batch_stats": batch_stats},
-                    images,
+                    images_f,
                     train=True,
                     mutable=["batch_stats"],
                     rngs={"dropout": rng},
@@ -129,7 +155,8 @@ class Trainer:
 
         def step(params, batch_stats, images, labels, weights):
             out = module.apply(
-                {"params": params, "batch_stats": batch_stats}, images, train=False
+                {"params": params, "batch_stats": batch_stats},
+                self._prep_images(images), train=False
             )
             logits = out[0] if isinstance(out, tuple) else out
             loss = self._loss(logits, labels, weights)
