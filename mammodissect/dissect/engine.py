@@ -521,8 +521,7 @@ def _prefetch_packed_batches(probe, batch_size: int, quantum: int, cap_bytes: in
     the bucket (single compile) when the caller knows the payload envelope (e.g.
     the bench precomputes its pool's max batch bytes); a batch whose largest
     shard group overflows it falls back to the quantum bucketing for that batch."""
-    from mammodissect.dissect.packing import (
-        bucket_len, pack_batch_groups, pad_flat)
+    from mammodissect.dissect.packing import pack_batch_groups_padded
 
     h, w_, c = probe.image_shape
     use_spans = hasattr(probe, "image_spans")
@@ -539,13 +538,11 @@ def _prefetch_packed_batches(probe, batch_size: int, quantum: int, cap_bytes: in
             # tail padding rows are known all-zero: constant empty spans,
             # no O(H*W) rescan of frames we just allocated as zeros
             spans.extend(zero_span for _ in range(stop - start_, batch_size))
-        flats, meta = pack_batch_groups(u8, n_shards, spans=spans)
-        max_exact = max(f.shape[0] for f in flats)
-        if fixed_len is not None and max_exact <= fixed_len:
-            bucket = int(fixed_len)
-        else:
-            bucket = bucket_len(max_exact, quantum, cap_bytes)
-        flat2d = np.stack([pad_flat(f, bucket) for f in flats])
+        # one-shot padded pack (native memcpy path when built): spans land
+        # directly in their final [D, bucket] wire positions
+        flat2d, meta, bucket = pack_batch_groups_padded(
+            u8, n_shards, spans=spans, quantum=quantum, cap=cap_bytes,
+            fixed_len=fixed_len)
         return flat2d, meta, stop - start_, bucket
 
     yield from _prefetch(assemble, len(probe), batch_size, start, depth)

@@ -75,26 +75,75 @@ def pack_image(img_u8: np.ndarray, start: np.ndarray, length: np.ndarray) -> np.
     return img_u8[keep].reshape(-1)  # [sum(length) * C]
 
 
-def pack_batch(u8: np.ndarray, spans=None) -> Tuple[np.ndarray, np.ndarray]:
+def _native_lib_ok() -> bool:
+    try:
+        from mammodissect import native as fastimage
+
+        return fastimage.available()
+    except Exception:
+        return False
+
+
+def _spans_meta(u8: np.ndarray, spans, use_native: bool) -> np.ndarray:
+    """[B, H, 2] int32 (start, length) metadata from precomputed per-image span
+    tuples, the native batched row scan, or the numpy fallback."""
+    b, h = u8.shape[0], u8.shape[1]
+    meta = np.empty((b, h, 2), np.int32)
+    if spans is not None:
+        for i in range(b):
+            start, length = spans[i]
+            meta[i, :, 0] = start
+            meta[i, :, 1] = length
+        return meta
+    if use_native:
+        from mammodissect import native as fastimage
+
+        start, length = fastimage.batch_row_spans(u8)
+        meta[:, :, 0] = start
+        meta[:, :, 1] = length
+        return meta
+    for i in range(b):
+        start, length = row_spans(u8[i])
+        meta[i, :, 0] = start
+        meta[i, :, 1] = length
+    return meta
+
+
+def pack_batch(u8: np.ndarray, spans=None, native=None) -> Tuple[np.ndarray, np.ndarray]:
     """Pack a [B, H, W, C] uint8 batch.
 
     spans: optional per-image precomputed (start, length) tuples (e.g. a cyclic
     bench pool computes them once per pool image).
+    native: None = auto (use the C++ packer when built), False forces the numpy
+    path (the parity oracle in tests).
+
+    The native path matters: numpy packs via a full-frame boolean mask + fancy
+    index (~4 passes over the batch — measured ~0.9 s/batch at the canonical
+    64x1520x912 geometry on a 1-vCPU host, the dominant non-wire term of the r5
+    full-scale harvest); the C++ path is one span scan + one memcpy per row.
 
     Returns (flat uint8 [L_exact], meta int32 [B, H, 2])."""
-    b, h, _, _ = u8.shape
-    meta = np.zeros((b, h, 2), np.int32)
-    parts = []
-    for i in range(b):
-        start, length = spans[i] if spans is not None else row_spans(u8[i])
-        meta[i, :, 0] = start
-        meta[i, :, 1] = length
-        parts.append(pack_image(u8[i], start, length))
-    flat = np.concatenate(parts) if parts else np.zeros((0,), np.uint8)
+    b, h = u8.shape[0], u8.shape[1]
+    c = u8.shape[3]
+    use_native = _native_lib_ok() if native is None else bool(native) and _native_lib_ok()
+    meta = _spans_meta(u8, spans, use_native)
+    img_bytes = meta[:, :, 1].astype(np.int64).sum(axis=1) * c  # [B]
+    offs = np.zeros(b, np.int64)
+    if b > 1:
+        offs[1:] = np.cumsum(img_bytes[:-1])
+    flat = np.empty(int(img_bytes.sum()), np.uint8)
+    if use_native:
+        from mammodissect import native as fastimage
+
+        fastimage.batch_pack(u8, meta[:, :, 0], meta[:, :, 1], flat, offs)
+    else:
+        for i in range(b):
+            p = pack_image(u8[i], meta[i, :, 0], meta[i, :, 1])
+            flat[offs[i]:offs[i] + p.shape[0]] = p
     return flat, meta
 
 
-def pack_batch_groups(u8: np.ndarray, n_groups: int, spans=None):
+def pack_batch_groups(u8: np.ndarray, n_groups: int, spans=None, native=None):
     """Pack a [B, H, W, C] batch as `n_groups` contiguous shard groups.
 
     Group g covers batch rows [g*B/n, (g+1)*B/n) — exactly the rows a
@@ -110,10 +159,60 @@ def pack_batch_groups(u8: np.ndarray, n_groups: int, spans=None):
     flats, metas = [], []
     for g in range(n_groups):
         sl = slice(g * bs, (g + 1) * bs)
-        f, m = pack_batch(u8[sl], spans=spans[sl] if spans is not None else None)
+        f, m = pack_batch(u8[sl], spans=spans[sl] if spans is not None else None,
+                          native=native)
         flats.append(f)
         metas.append(m)
     return flats, np.concatenate(metas, axis=0)
+
+
+def pack_batch_groups_padded(u8: np.ndarray, n_groups: int, spans=None,
+                             quantum: int = 1, cap: Optional[int] = None,
+                             fixed_len: Optional[int] = None, native=None):
+    """One-shot padded wire assembly: pack a [B, H, W, C] batch per shard group
+    DIRECTLY into the [n_groups, bucket] uint8 wire tensor.
+
+    Equivalent to `pack_batch_groups` + `bucket_len` + `pad_flat` + `np.stack`
+    (the prefetch thread's previous recipe) but with one allocation and one copy
+    of each span: per-image destination offsets are prefix sums of the span
+    metadata, so the (native, threaded) row memcpys land in their final padded
+    positions — no intermediate exact-size buffers, no restack.
+
+    Bucket choice matches the prefetcher's contract: `fixed_len` when every
+    group fits it (the single-compile envelope), else the `quantum` rounding
+    capped at `cap` (both PER-SHARD byte sizes).
+
+    Returns (flat2d [n_groups, bucket] uint8, meta [B, H, 2] int32, bucket)."""
+    b, h = u8.shape[0], u8.shape[1]
+    c = u8.shape[3]
+    if b % n_groups:
+        raise ValueError(f"batch {b} not divisible by {n_groups} shard groups")
+    bs = b // n_groups
+    use_native = _native_lib_ok() if native is None else bool(native) and _native_lib_ok()
+    meta = _spans_meta(u8, spans, use_native)
+    img_bytes = meta[:, :, 1].astype(np.int64).sum(axis=1) * c  # [B]
+    grp = img_bytes.reshape(n_groups, bs)
+    max_exact = int(grp.sum(axis=1).max()) if b else 0
+    if fixed_len is not None and max_exact <= fixed_len:
+        bucket = int(fixed_len)
+    else:
+        bucket = bucket_len(max_exact, quantum,
+                            cap if cap is not None else max(max_exact, 1))
+    flat2d = np.zeros((n_groups, bucket), np.uint8)
+    # exclusive prefix sums within each group, shifted to the group's wire row
+    excl = np.cumsum(grp, axis=1) - grp
+    offs = (np.arange(n_groups, dtype=np.int64)[:, None] * bucket + excl).reshape(-1)
+    if use_native:
+        from mammodissect import native as fastimage
+
+        fastimage.batch_pack(u8, meta[:, :, 0], meta[:, :, 1],
+                             flat2d.reshape(-1), offs)
+    else:
+        flat1 = flat2d.reshape(-1)
+        for i in range(b):
+            p = pack_image(u8[i], meta[i, :, 0], meta[i, :, 1])
+            flat1[offs[i]:offs[i] + p.shape[0]] = p
+    return flat2d, meta, bucket
 
 
 def bucket_len(n_exact: int, quantum: int, cap: int) -> int:

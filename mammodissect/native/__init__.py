@@ -57,6 +57,20 @@ def get_lib():
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
             ctypes.c_int,
         ]
+        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+        lib.fi_row_spans.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+        ]
+        lib.fi_pack_spans.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
+        ]
+        lib.fi_pack_spans.restype = ctypes.c_int64
+        lib.fi_batch_pack.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+            i32p, i32p, ctypes.c_int, u8p, i64p, ctypes.c_int,
+        ]
         _lib = lib
         return _lib
 
@@ -98,3 +112,41 @@ def batch_resize_normalize(src: np.ndarray, size_hw, mean: float, std: float,
     lib.fi_batch_resize_normalize(arr, n, sh, sw, out, dh, dw,
                                   1 if minmax else 0, float(mean), float(std), n_threads)
     return out[..., None]
+
+
+def batch_row_spans(u8: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Per-row nonzero spans for a [B, H, W, C] uint8 batch via the native scan.
+
+    Returns (start [B, H] int32, length [B, H] int32) — the batched equivalent
+    of packing.row_spans (nonzero = any channel nonzero)."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastimage unavailable")
+    arr = np.ascontiguousarray(u8, dtype=np.uint8)
+    b, h, w, c = arr.shape
+    start = np.empty((b, h), np.int32)
+    length = np.empty((b, h), np.int32)
+    lib.fi_row_spans(arr.reshape(-1), b * h, w, c, start.reshape(-1),
+                     length.reshape(-1))
+    return start, length
+
+
+def batch_pack(u8: np.ndarray, start: np.ndarray, length: np.ndarray,
+               out: np.ndarray, out_offsets: np.ndarray,
+               n_threads: "int | None" = None) -> None:
+    """Pack each image's row spans into `out` at byte offset `out_offsets[i]`
+    (one memcpy per row, threaded across images). Spans come from
+    `batch_row_spans` or a probe's precomputed spans — they must be known up
+    front because the offsets are their prefix sums."""
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native fastimage unavailable")
+    arr = np.ascontiguousarray(u8, dtype=np.uint8)
+    b, h, w, c = arr.shape
+    start = np.ascontiguousarray(start, np.int32)
+    length = np.ascontiguousarray(length, np.int32)
+    offs = np.ascontiguousarray(out_offsets, np.int64)
+    if n_threads is None:
+        n_threads = min(os.cpu_count() or 2, 8)
+    lib.fi_batch_pack(arr.reshape(-1), b, h, w, c, start.reshape(-1),
+                      length.reshape(-1), 0, out, offs, int(n_threads))

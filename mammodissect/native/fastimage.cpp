@@ -95,6 +95,95 @@ void fi_batch_resize_normalize(const float* src, int n, int sh, int sw, float* d
   for (auto& th : threads) th.join();
 }
 
+// ---------------------------------------------------------------------------
+// Packed-wire host kernels (dissect/packing.py).
+//
+// The packed uint8 wire's host cost is per-ROW work over [B, H, W, C] batches:
+// find each row's [first, last] nonzero span, then copy span bytes contiguously
+// into one flat payload. numpy does both via full-frame boolean masks + fancy
+// indexing (~4 passes over the 89 MB batch at the canonical geometry — measured
+// ~0.9 s/batch on a 1-vCPU host, the dominant non-wire term of the r5 full-scale
+// harvest). Here each is one forward/backward scan + one memcpy per row.
+
+// Per-row nonzero spans of [B*H] rows, each [W, C] uint8: start/length int32.
+// "Nonzero" = any channel nonzero (matches packing.row_spans).
+void fi_row_spans(const uint8_t* u8, int64_t n_rows, int64_t w, int64_t c,
+                  int32_t* start, int32_t* length) {
+  for (int64_t r = 0; r < n_rows; ++r) {
+    const uint8_t* row = u8 + r * w * c;
+    int64_t nb = w * c;
+    // byte-level scan: first/last nonzero BYTE, then round to pixel granularity.
+    // word-wise fast path skips zero bytes 8 at a time.
+    int64_t i = 0;
+    while (i + 8 <= nb) {
+      uint64_t v;
+      std::memcpy(&v, row + i, 8);
+      if (v != 0) break;
+      i += 8;
+    }
+    while (i < nb && row[i] == 0) ++i;
+    if (i == nb) {
+      start[r] = 0;
+      length[r] = 0;
+      continue;
+    }
+    int64_t j = nb;
+    while (j - 8 >= i) {
+      uint64_t v;
+      std::memcpy(&v, row + j - 8, 8);
+      if (v != 0) break;
+      j -= 8;
+    }
+    while (j > i && row[j - 1] == 0) --j;
+    int32_t first_px = (int32_t)(i / c);
+    int32_t last_px = (int32_t)((j - 1) / c);
+    start[r] = first_px;
+    length[r] = last_px - first_px + 1;
+  }
+}
+
+// Pack [n_rows] rows' spans contiguously into `out` (row-major over rows, the
+// packing.pack_batch order). Returns bytes written; caller sizes `out` from
+// sum(length)*c.
+int64_t fi_pack_spans(const uint8_t* u8, int64_t n_rows, int64_t w, int64_t c,
+                      const int32_t* start, const int32_t* length, uint8_t* out) {
+  int64_t off = 0;
+  for (int64_t r = 0; r < n_rows; ++r) {
+    int64_t nb = (int64_t)length[r] * c;
+    if (nb == 0) continue;
+    std::memcpy(out + off, u8 + (r * w + start[r]) * c, (size_t)nb);
+    off += nb;
+  }
+  return off;
+}
+
+// Threaded batch variant over images: spans + pack for a [B, H, W, C] batch in
+// one call. Each image's payload lands at out + out_offsets[b] (caller computes
+// offsets from the span metadata, or passes exact prefix sums). When
+// `compute_spans` is 0 the provided start/length are used as-is.
+void fi_batch_pack(const uint8_t* u8, int64_t b, int64_t h, int64_t w, int64_t c,
+                   int32_t* start, int32_t* length, int compute_spans,
+                   uint8_t* out, const int64_t* out_offsets, int n_threads) {
+  if (n_threads < 1) n_threads = 1;
+  std::atomic<int64_t> next(0);
+  auto worker = [&]() {
+    for (;;) {
+      int64_t i = next.fetch_add(1);
+      if (i >= b) return;
+      const uint8_t* img = u8 + i * h * w * c;
+      int32_t* st = start + i * h;
+      int32_t* ln = length + i * h;
+      if (compute_spans) fi_row_spans(img, h, w, c, st, ln);
+      fi_pack_spans(img, h, w, c, st, ln, out + out_offsets[i]);
+    }
+  };
+  std::vector<std::thread> threads;
+  int nt = (int64_t)n_threads < b ? n_threads : (int)b;
+  threads.reserve(nt);
+  for (int t = 0; t < nt; ++t) threads.emplace_back(worker);
+  for (auto& th : threads) th.join();
+}
+
 // uint8 HWC (1 or 3 channels) decode-normalize fast path: scale to [0,1], optional
 // grayscale collapse, then resize+minmax+meanstd per channel.
 void fi_u8_to_gray_resize_normalize(const uint8_t* src, int sh, int sw, int sc,

@@ -230,6 +230,71 @@ def test_pack_batch_groups_roundtrip_bit_exact():
         pack_batch_groups(u8, 3)  # 8 % 3 != 0
 
 
+def test_native_pack_matches_numpy():
+    """The C++ packer (native.fi_row_spans / fi_batch_pack) must produce
+    byte-identical payloads and metadata to the numpy reference path across
+    sparse, dense, interior-zero, all-zero, and multi-channel content. Skips
+    when no compiler is available (the numpy path is the fallback)."""
+    from mammodissect import native as fastimage
+
+    if not fastimage.available():
+        pytest.skip("native fastimage unavailable")
+
+    rng = np.random.default_rng(11)
+    cases = [_sparse_images(rng, 6, 24, 20), _sparse_images(rng, 4, 16, 12, c=3)]
+    dense = rng.integers(1, 256, size=(3, 8, 10, 1), dtype=np.uint8)
+    interior = _sparse_images(rng, 4, 12, 16)
+    interior[:, ::2, 5:7] = 0  # interior zeros inside spans stay in the payload
+    cases += [dense, interior, np.zeros((2, 6, 8, 1), np.uint8)]
+    for u8 in cases:
+        f_np, m_np = pack_batch(u8, native=False)
+        f_nat, m_nat = pack_batch(u8, native=True)
+        np.testing.assert_array_equal(m_np, m_nat)
+        np.testing.assert_array_equal(f_np, f_nat)
+        start, length = fastimage.batch_row_spans(u8)
+        for i in range(u8.shape[0]):
+            s_ref, l_ref = row_spans(u8[i])
+            np.testing.assert_array_equal(start[i], s_ref)
+            np.testing.assert_array_equal(length[i], l_ref)
+
+
+def test_pack_batch_groups_padded_matches_stacked_recipe():
+    """pack_batch_groups_padded (the prefetch thread's one-shot wire assembly)
+    must equal the pack_batch_groups + bucket_len + pad_flat + stack recipe it
+    replaced — same bucket choice (fixed_len envelope vs quantum rounding),
+    same bytes — in both the native and numpy paths."""
+    from mammodissect.dissect.packing import (
+        pack_batch_groups, pack_batch_groups_padded)
+
+    rng = np.random.default_rng(13)
+    u8 = _sparse_images(rng, 8, 24, 20)
+    cap_total = int(np.prod(u8.shape))
+    for native in (False, True):
+        for d in (1, 2, 4):
+            cap = cap_total // d
+            q = max(cap // 16, 1)
+            flats, meta = pack_batch_groups(u8, d, native=native)
+            max_exact = max(f.shape[0] for f in flats)
+            bucket = bucket_len(max_exact, q, cap)
+            ref = np.stack([pad_flat(f, bucket) for f in flats])
+            f2d, meta2, bk = pack_batch_groups_padded(
+                u8, d, quantum=q, cap=cap, native=native)
+            assert bk == bucket
+            np.testing.assert_array_equal(meta, meta2)
+            np.testing.assert_array_equal(ref, f2d)
+            # fixed_len envelope: pins the bucket when every group fits
+            f2d, _, bk = pack_batch_groups_padded(
+                u8, d, quantum=q, cap=cap, fixed_len=max_exact + 5, native=native)
+            assert bk == max_exact + 5
+            np.testing.assert_array_equal(f2d[:, :max_exact], ref[:, :max_exact])
+            assert not f2d[:, max_exact:].any()
+            # overflow of fixed_len falls back to quantum bucketing
+            _, _, bk = pack_batch_groups_padded(
+                u8, d, quantum=q, cap=cap, fixed_len=max(max_exact - 1, 1),
+                native=native)
+            assert bk == bucket
+
+
 def test_packed_resident_sharded_matches_single_device(small_dissector_setup):
     """Packed wire under the 8-device CPU mesh: the flat payload packs per
     data-shard group and ships [D, L] sharded P('data') (each device holds ONLY
