@@ -209,6 +209,21 @@ def _save_chip_ab(cache_dir: str, h: int, w: int, batch_size: int, ab: dict):
         pass
 
 
+def _merge_chip_ab(fresh: dict, cached: dict) -> dict:
+    """The A/B record a capture publishes: fresh rates win; rates the budget
+    skipped (measure_chip_ab only runs the unpacked section when ~300 s remain)
+    are backfilled from the in-round persisted measurement — otherwise the JSON
+    would null a number this round already measured, defeating _save_chip_ab's
+    purpose. chip_ab_source says exactly which of the two happened."""
+    backfilled = {k: v for k, v in cached.items()
+                  if k != "measured_at" and k not in fresh}
+    out = {**backfilled, **fresh}
+    out["chip_ab_source"] = (
+        "measured_this_run" if not backfilled
+        else f"measured_this_run+cached_{cached.get('measured_at', 'unknown')}")
+    return out
+
+
 def measure_chip_ab(dissector, pool, pool_spans, pack_fixed_len, batch_size,
                     h, w, layers, mean, std, budget_s: float) -> dict:
     """Chip-side forward+embed rates with device-resident input (no wire): what a
@@ -725,7 +740,7 @@ def main():
                                  budget_s=remaining - 30)
             cached = _load_chip_ab(cache_dir, h, w, batch_size)
             _save_chip_ab(cache_dir, h, w, batch_size, {**cached, **ab})
-            ab["chip_ab_source"] = "measured_this_run"
+            ab = _merge_chip_ab(ab, cached)
         except Exception as e:  # noqa: BLE001 — decoration must not kill the number
             note(f"chip A/B failed ({type(e).__name__}: {e}); using cached values")
             ab = {}

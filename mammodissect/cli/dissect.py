@@ -63,13 +63,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--wire_pack", choices=("auto", "on", "off"), default="auto",
                    help="lossless packed uint8 wire for the --resident harvest: "
                         "send per-row nonzero spans instead of full frames "
-                        "(mammograms are ~40-60%% black background); 'auto' "
-                        "estimates the packed fraction from 16 evenly spaced probe "
-                        "images (exact if the probe precomputes spans) and packs "
-                        "when it saves >=15%%. The estimate is a sample: a probe "
-                        "whose density varies on exactly the sample stride can "
-                        "still mis-decide — force 'on'/'off' when you know the "
-                        "content")
+                        "(mammograms are ~40-60%% black background); 'auto' packs "
+                        "when the estimated packed fraction saves >=15%%, using "
+                        "the probe's exact span-derived fraction when it knows "
+                        "one, else a seeded random sample of 16 images. A sample "
+                        "is still a sample — on a mixed-density probe it can "
+                        "mis-decide; force 'on'/'off' when you know the content")
     p.add_argument("--naming", choices=("generated", "og"), default="generated",
                    help="'og' writes CSV/args files under describe_og_neurons.py's "
                         "exact hardcoded name matrix (for downstream Plots code "

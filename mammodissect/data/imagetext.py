@@ -76,16 +76,8 @@ class ImageTextDataset:
         return os.path.join(self.root, self.img_dir, str(patient_id), image_id)
 
     def _load(self, path: str, train: bool) -> np.ndarray:
-        if self.wire == "u8" and not train:
-            return T.load_image_u8_resized(path, self.size_hw)
-        arr = T.load_image(path, grayscale=True)
-        if train:
-            arr = T.resize(arr, self.size_hw)
-            arr = T.augment_train(arr, self._rng)
-            if self.wire == "u8":
-                return T.to_u8(arr)
-            return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
-        return T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
+        return T.load_for_wire(path, self.size_hw, self.mean, self.std,
+                               train, self.wire, self._rng)
 
     def __getitem__(self, index: int) -> Dict:
         row = self.df.iloc[index]

@@ -293,3 +293,29 @@ def augment_train(
         arr = elastic_deform(np.ascontiguousarray(arr), rng,
                              alpha=elastic_alpha, sigma=elastic_sigma)
     return np.ascontiguousarray(arr)
+
+
+def load_for_wire(path: str, size_hw: tuple[int, int], mean: float, std: float,
+                  train: bool, wire: str, rng: np.random.Generator) -> np.ndarray:
+    """The dataset load matrix (train x wire) — the ONE implementation shared by
+    the pretrain loader (ImageTextDataset._load) and the fine-tune loader
+    (ClassifierDataset.image), so the two paths' wire numerics cannot drift
+    (ops/normalize.py is the device-side half of the same contract).
+
+    wire='u8' ships post-transform uint8 (1 B/px; normalization happens on
+    device): for eval that is a uint8 load + uint8 resize — exactly the
+    reference's pre-normalize eval pipeline (albumentations Resize on uint8,
+    `Datasets/dataset_utils.py`); for train, the augmented float image is
+    quantized back to uint8 (the reference's own transforms keep uint8
+    end-to-end). wire='f32' is the reference's normalized-float tensor."""
+    if wire == "u8" and not train:
+        return load_image_u8_resized(path, size_hw)
+    arr = load_image(path, grayscale=True)
+    if train:
+        arr = resize(arr, size_hw)
+        arr = augment_train(arr, rng)
+        if wire == "u8":
+            return to_u8(arr)
+        return minmax_meanstd(arr, mean, std).astype(np.float32)
+    # eval f32: fused native resize+normalize when available
+    return gray_resize_normalize(arr, size_hw, mean, std)

@@ -21,6 +21,15 @@ _lib = None
 _tried = False
 
 
+_REQUIRED_SYMBOLS = ("fi_resize_normalize", "fi_batch_resize_normalize",
+                     "fi_row_spans", "fi_pack_spans", "fi_batch_pack",
+                     # ABI stamp: a .so carrying every name above but built
+                     # from a source with DIFFERENT signatures (fi_batch_pack
+                     # lost compute_spans without renaming) lacks this and is
+                     # rejected before dlopen
+                     "fi_abi_v2")
+
+
 def _build() -> bool:
     try:
         subprocess.run(
@@ -33,6 +42,24 @@ def _build() -> bool:
         return False
 
 
+def _so_has_symbols(path: str) -> bool:
+    """True when every required export name appears in the .so's bytes.
+
+    Checked BEFORE dlopen: an _fastimage.so built from an older fastimage.cpp
+    can outrank the source on mtime (tree copied/extracted with fresh stamps)
+    yet lack newer entry points — and rebuilding a path that is already
+    dlopen'ed would truncate the live mapping, so staleness must be decided
+    while the file is still unloaded. Export names live as plain strings in
+    .dynsym/.dynstr, so a substring scan is a sufficient (and dependency-free)
+    presence test."""
+    try:
+        with open(path, "rb") as f:
+            blob = f.read()
+    except OSError:
+        return False
+    return all(s.encode() in blob for s in _REQUIRED_SYMBOLS)
+
+
 def get_lib():
     """The loaded ctypes library, or None when native is unavailable."""
     global _lib, _tried
@@ -40,39 +67,51 @@ def get_lib():
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not os.path.exists(_SO) or os.path.getmtime(_SO) < os.path.getmtime(_SRC):
-            if not _build():
+        if (not os.path.exists(_SO)
+                or os.path.getmtime(_SO) < os.path.getmtime(_SRC)
+                or not _so_has_symbols(_SO)):
+            if not _build() or not _so_has_symbols(_SO):
                 return None
         try:
             lib = ctypes.CDLL(_SO)
         except OSError:
             return None
-        f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
-        lib.fi_resize_normalize.argtypes = [
-            f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_float, ctypes.c_float,
-        ]
-        lib.fi_batch_resize_normalize.argtypes = [
-            f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
-            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
-            ctypes.c_int,
-        ]
-        u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-        i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
-        i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
-        lib.fi_row_spans.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
-        ]
-        lib.fi_pack_spans.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
-        ]
-        lib.fi_pack_spans.restype = ctypes.c_int64
-        lib.fi_batch_pack.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
-            i32p, i32p, ctypes.c_int, u8p, i64p, ctypes.c_int,
-        ]
+        # _so_has_symbols makes a missing export unreachable in practice, but a
+        # symbol lookup failure must degrade to the numpy path, never crash
+        try:
+            _bind(lib)
+        except AttributeError:
+            return None
         _lib = lib
         return _lib
+
+
+def _bind(lib) -> None:
+    """Declare argtypes for every required export (AttributeError on a stale .so)."""
+    f32p = np.ctypeslib.ndpointer(np.float32, flags="C_CONTIGUOUS")
+    lib.fi_resize_normalize.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, f32p, ctypes.c_int, ctypes.c_int,
+        ctypes.c_int, ctypes.c_float, ctypes.c_float,
+    ]
+    lib.fi_batch_resize_normalize.argtypes = [
+        f32p, ctypes.c_int, ctypes.c_int, ctypes.c_int, f32p,
+        ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_float, ctypes.c_float,
+        ctypes.c_int,
+    ]
+    u8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    lib.fi_row_spans.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p,
+    ]
+    lib.fi_pack_spans.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, i32p, i32p, u8p,
+    ]
+    lib.fi_pack_spans.restype = ctypes.c_int64
+    lib.fi_batch_pack.argtypes = [
+        u8p, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64, ctypes.c_int64,
+        i32p, i32p, u8p, i64p, ctypes.c_int,
+    ]
 
 
 def available() -> bool:
@@ -149,4 +188,4 @@ def batch_pack(u8: np.ndarray, start: np.ndarray, length: np.ndarray,
     if n_threads is None:
         n_threads = min(os.cpu_count() or 2, 8)
     lib.fi_batch_pack(arr.reshape(-1), b, h, w, c, start.reshape(-1),
-                      length.reshape(-1), 0, out, offs, int(n_threads))
+                      length.reshape(-1), out, offs, int(n_threads))

@@ -157,12 +157,12 @@ int64_t fi_pack_spans(const uint8_t* u8, int64_t n_rows, int64_t w, int64_t c,
   return off;
 }
 
-// Threaded batch variant over images: spans + pack for a [B, H, W, C] batch in
-// one call. Each image's payload lands at out + out_offsets[b] (caller computes
-// offsets from the span metadata, or passes exact prefix sums). When
-// `compute_spans` is 0 the provided start/length are used as-is.
+// Threaded batch pack for a [B, H, W, C] batch in one call. Each image's
+// payload lands at out + out_offsets[b]. Spans are always caller-provided
+// (fi_row_spans or a probe's precomputed spans): out_offsets are prefix sums
+// of the span lengths, so spans necessarily exist before this can be called.
 void fi_batch_pack(const uint8_t* u8, int64_t b, int64_t h, int64_t w, int64_t c,
-                   int32_t* start, int32_t* length, int compute_spans,
+                   const int32_t* start, const int32_t* length,
                    uint8_t* out, const int64_t* out_offsets, int n_threads) {
   if (n_threads < 1) n_threads = 1;
   std::atomic<int64_t> next(0);
@@ -171,10 +171,8 @@ void fi_batch_pack(const uint8_t* u8, int64_t b, int64_t h, int64_t w, int64_t c
       int64_t i = next.fetch_add(1);
       if (i >= b) return;
       const uint8_t* img = u8 + i * h * w * c;
-      int32_t* st = start + i * h;
-      int32_t* ln = length + i * h;
-      if (compute_spans) fi_row_spans(img, h, w, c, st, ln);
-      fi_pack_spans(img, h, w, c, st, ln, out + out_offsets[i]);
+      fi_pack_spans(img, h, w, c, start + i * h, length + i * h,
+                    out + out_offsets[i]);
     }
   };
   std::vector<std::thread> threads;
@@ -201,5 +199,11 @@ void fi_u8_to_gray_resize_normalize(const uint8_t* src, int sh, int sw, int sc,
   }
   fi_resize_normalize(scratch, sh, sw, dst, dh, dw, do_minmax, mean, std_);
 }
+
+// ABI stamp: bump the suffix whenever any exported signature changes (symbol
+// NAMES alone can't reveal a signature change — fi_batch_pack kept its name
+// when compute_spans was dropped). The Python loader requires this exact
+// symbol, so a stale same-named .so is rejected before dlopen.
+void fi_abi_v2(void) {}
 
 }  // extern "C"

@@ -49,19 +49,8 @@ class ClassifierDataset:
         import os
 
         path = os.path.join(self.root, str(self.df.iloc[i][self.image_col]))
-        if self.wire == "u8" and not self.train:
-            # eval u8 wire: uint8 load + uint8 resize, exactly the reference's
-            # pre-normalize eval pipeline (albumentations Resize on uint8)
-            return T.load_image_u8_resized(path, self.size_hw)
-        arr = T.load_image(path, grayscale=True)
-        if self.train:
-            arr = T.resize(arr, self.size_hw)
-            arr = T.augment_train(arr, self._rng)
-            if self.wire == "u8":
-                return T.to_u8(arr)
-            return T.minmax_meanstd(arr, self.mean, self.std).astype(np.float32)
-        # eval path: fused native resize+normalize when available
-        return T.gray_resize_normalize(arr, self.size_hw, self.mean, self.std)
+        return T.load_for_wire(path, self.size_hw, self.mean, self.std,
+                               self.train, self.wire, self._rng)
 
     def label(self, i: int):
         return self.df.iloc[i][self.label_col]
