@@ -336,13 +336,16 @@ atexit.register(_cleanup_watchdog_files)
 def _write_status():
     """Best-effort atomic progress snapshot for the subprocess watchdog."""
     try:
+        snap = {k: PROGRESS.get(k) for k in
+                ("stage", "n_images", "cum_rate_img_per_s",
+                 "last_rate_img_per_s", "rate_to_2048_img_per_s")}
+        if PROGRESS.get("pending_result") is not None:
+            snap["pending_result"] = PROGRESS["pending_result"]
         tmp = _STATUS + ".tmp"
         with open(tmp, "w") as f:
-            json.dump({k: PROGRESS.get(k) for k in
-                       ("stage", "n_images", "cum_rate_img_per_s",
-                        "last_rate_img_per_s", "rate_to_2048_img_per_s")}, f)
+            json.dump(snap, f)
         os.replace(tmp, _STATUS)
-    except OSError:
+    except (OSError, TypeError, ValueError):
         pass
 
 
@@ -373,6 +376,20 @@ def _start_watchdog(deadline_s: float):
                 break
             time.sleep(min(remain - 5, 10))
         if PROGRESS["printed"]:
+            return
+        # a COMPLETE result staged before the post-harvest decoration stages
+        # (chip A/B re-measurement can wedge on the remote compile helper's
+        # executable materialization — observed 6-750 s) beats any fallback:
+        # publish the real measured number, flagged with where the stall hit
+        pending = PROGRESS.get("pending_result")
+        if pending is not None:
+            pending["detail"]["post_harvest_timeout"] = True
+            pending["detail"]["stage_at_timeout"] = PROGRESS.get("stage")
+            printed_by_watchdog = _emit_final(pending)
+            sys.stderr.flush()
+            sys.stdout.flush()
+            if printed_by_watchdog:
+                os._exit(3)
             return
         # the cumulative harvest average is the honest fallback: the LAST stride sits
         # in the relay's deepest throttle tier (observed 1.6 img/s while the run
@@ -429,15 +446,28 @@ try:
     os.kill(ppid, 0)  # parent finished (and cleaned up) in the last poll window
 except OSError:
     sys.exit(0)
-rate, n, stage = 0.0, 0, "unknown"
+rate, n, stage, pending = 0.0, 0, "unknown", None
 try:
     with open(status) as f:
         st = json.load(f)
     rate = float(st.get("cum_rate_img_per_s") or st.get("last_rate_img_per_s") or 0.0)
     n = int(st.get("n_images") or 0)
     stage = st.get("stage") or "unknown"
+    pending = st.get("pending_result")
 except Exception:
     pass
+if isinstance(pending, dict) and "value" in pending:
+    # a COMPLETE result was staged before a post-harvest decoration stage
+    # wedged holding the GIL: publish the real measurement, flagged
+    pending.setdefault("detail", {})["post_harvest_timeout"] = True
+    pending["detail"]["process_watchdog"] = True
+    pending["detail"]["stage_at_timeout"] = stage
+    print(json.dumps(pending), flush=True)
+    try:
+        os.kill(ppid, signal.SIGKILL)
+    except OSError:
+        pass
+    sys.exit(0)
 print(json.dumps({
     "metric": "dissect_images_per_sec_per_chip",
     "value": round(rate, 2), "unit": "img/s/chip",
@@ -726,6 +756,95 @@ def main():
     total_s = harvest_s + text_s + score_s
     value = min(n_rate, n_seen) / total_s
 
+    wire_bytes_total = int(sum(t.get("wire_bytes", 0) for t in timing))
+    wire_per_image = wire_bytes_total / max(n_fresh, 1)
+    per_chip_images = 10_000 / 8  # the north-star workload, regardless of BENCH_N_IMAGES
+
+    def build_result(ab: dict) -> dict:
+        """The complete publishable record from the measurements already in hand.
+
+        Called twice: once BEFORE the chip-A/B decoration stage (staged as
+        PROGRESS['pending_result'] so a wedge in the remote compile helper —
+        observed 6-750 s of silent executable materialization — publishes the
+        real measured number instead of a skeleton fallback), and once after
+        with the fresh/merged A/B rates."""
+        chip_side_rate = ab.get("chip_side_forward_img_per_s")
+        chip_side_packed_rate = ab.get("chip_side_packed_forward_img_per_s")
+        # v5e-8 projection (the north-star's actual hardware): each chip's host
+        # uploads n/8 of the probe — valid for the PACKED wire because the payload
+        # packs per data-shard group and ships [D, L] sharded P('data') (each chip
+        # receives only its own shard's packed bytes; a replicated payload would
+        # have made per-chip upload n_devices x wire_per_image). Per-shard bucket
+        # padding adds <= 1/16 of a shard's raw bytes — inside this projection's
+        # margin. Compute runs DP-sharded over Mesh('data') through the SAME
+        # resident path (sharded accumulators + shard_map unpack — dryrun_multichip
+        # runs it; tests/test_packing.py asserts sharded==single-device), scoring
+        # is one segmented SPMD program.
+        v5e8_s = None
+        chip_rates = [r for r in (chip_side_rate, chip_side_packed_rate) if r]
+        if chip_rates:
+            per_chip_upload_s = per_chip_images * wire_per_image / (50e6)
+            per_chip_compute_s = per_chip_images / min(chip_rates)
+            v5e8_s = round(
+                max(per_chip_upload_s, per_chip_compute_s) + text_s + score_s, 1)
+        elapsed_total = time.monotonic() - T_PROC
+        # every duration field must sum to ~elapsed_s; harvest_start_elapsed_s is a
+        # TIMESTAMP (cross-check: it should equal the pre-harvest durations' sum)
+        led = dict(ledger)
+        led["other_s"] = round(
+            elapsed_total - sum(v for k, v in led.items()
+                                if isinstance(v, (int, float))
+                                and k != "harvest_start_elapsed_s"), 1)
+        return {
+            "metric": "dissect_images_per_sec_per_chip",
+            "value": round(float(value), 2),
+            "unit": "img/s/chip",
+            "vs_baseline": round(float(value / BASELINE_IMG_PER_SEC_PER_CHIP), 2),
+            "detail": {
+                "n_images_measured": n_seen,
+                "n_images_resumed_from_cache": n_resumed,
+                "wire_pack": True,
+                "wire_bytes_total": wire_bytes_total,
+                "wire_fraction_of_raw": round(wire_per_image / (h * w), 4),
+                "pool_fill_fraction": round(float(fill_fraction), 4),
+                "pack_fixed_len": pack_fixed_len,
+                "chip_side_packed_forward_img_per_s": chip_side_packed_rate,
+                "deadline_s": deadline_s,
+                "deadline_hit": n_seen < n_images,
+                "harvest_s": round(harvest_s, 1),
+                "harvest_img_per_s": round(float(harvest_rate), 2),
+                "rate_to_2048_img_per_s": PROGRESS.get("rate_to_2048_img_per_s"),
+                "chip_side_forward_img_per_s": chip_side_rate,
+                "chip_ab_source": ab.get("chip_ab_source"),
+                "v5e8_projected_10k_wall_s": v5e8_s,
+                "text_embed_s": round(text_s, 2),
+                "score_all_39_layers_s": round(score_s, 2),
+                "total_dissection_s": round(total_s, 1),
+                "compile_s": round(compile_s, 1),
+                "score_compile_s": round(score_compile_s, 1),
+                "setup_ledger": led,
+                "elapsed_s": round(elapsed_total, 1),
+                "batch_timing": summarize_timing(timing),
+                "image_size": [h, w],
+                "batch_size": batch_size,
+                "layers": len(layers),
+                "units": int(sum(widths)),
+                "concepts": n_concepts,
+            },
+        }
+
+    def _cached_ab() -> dict:
+        ab = _load_chip_ab(cache_dir, h, w, batch_size)
+        ab["chip_ab_source"] = (f"cached_{ab['measured_at']}" if "measured_at" in ab
+                                else "unavailable")
+        return ab
+
+    # stage the COMPLETE result before the decoration stage: from here on, a wedge
+    # or crash publishes this record (with in-round cached A/B rates), never a
+    # skeleton fallback that discards a finished measurement
+    PROGRESS["pending_result"] = build_result(_cached_ab())
+    _write_status()
+
     # ---- chip-side A/B: AFTER the timed harvest (it no longer eats the capture's
     # harvest window); measured fresh when budget allows, else loaded from the
     # in-round persisted measurement ----
@@ -745,83 +864,16 @@ def main():
             note(f"chip A/B failed ({type(e).__name__}: {e}); using cached values")
             ab = {}
     if not ab:
-        ab = _load_chip_ab(cache_dir, h, w, batch_size)
-        ab["chip_ab_source"] = (f"cached_{ab['measured_at']}" if "measured_at" in ab
-                                else "unavailable")
-    chip_side_rate = ab.get("chip_side_forward_img_per_s")
-    chip_side_packed_rate = ab.get("chip_side_packed_forward_img_per_s")
+        ab = _cached_ab()
     stage_done("chip_ab_s")
-
-    # v5e-8 projection (the north-star's actual hardware): each chip's host uploads
-    # n/8 of the probe — valid for the PACKED wire because the payload packs per
-    # data-shard group and ships [D, L] sharded P('data') (each chip receives only
-    # its own shard's packed bytes; a replicated payload would have made per-chip
-    # upload n_devices x wire_per_image). Per-shard bucket padding adds <= 1/16 of
-    # a shard's raw bytes — inside this projection's margin. Compute runs DP-sharded
-    # over Mesh('data') through the SAME resident path (sharded accumulators +
-    # shard_map unpack — dryrun_multichip runs it; tests/test_packing.py asserts
-    # sharded==single-device), scoring is one segmented SPMD program.
-    per_chip_images = 10_000 / 8  # the north-star workload, regardless of BENCH_N_IMAGES
-    wire_bytes_total = int(sum(t.get("wire_bytes", 0) for t in timing))
-    wire_per_image = wire_bytes_total / max(n_fresh, 1)
-    v5e8_s = None
-    chip_rates = [r for r in (chip_side_rate, chip_side_packed_rate) if r]
-    if chip_rates:
-        per_chip_upload_s = per_chip_images * wire_per_image / (50e6)
-        per_chip_compute_s = per_chip_images / min(chip_rates)
-        v5e8_s = round(
-            max(per_chip_upload_s, per_chip_compute_s) + text_s + score_s, 1)
-    elapsed_total = time.monotonic() - T_PROC
-    # every duration field must sum to ~elapsed_s; harvest_start_elapsed_s is a
-    # TIMESTAMP (cross-check: it should equal the pre-harvest durations' sum)
-    ledger["other_s"] = round(
-        elapsed_total - sum(v for k, v in ledger.items()
-                            if isinstance(v, (int, float))
-                            and k != "harvest_start_elapsed_s"), 1)
-    result = {
-        "metric": "dissect_images_per_sec_per_chip",
-        "value": round(float(value), 2),
-        "unit": "img/s/chip",
-        "vs_baseline": round(float(value / BASELINE_IMG_PER_SEC_PER_CHIP), 2),
-        "detail": {
-            "n_images_measured": n_seen,
-            "n_images_resumed_from_cache": n_resumed,
-            "wire_pack": True,
-            "wire_bytes_total": wire_bytes_total,
-            "wire_fraction_of_raw": round(wire_per_image / (h * w), 4),
-            "pool_fill_fraction": round(float(fill_fraction), 4),
-            "pack_fixed_len": pack_fixed_len,
-            "chip_side_packed_forward_img_per_s": chip_side_packed_rate,
-            "deadline_s": deadline_s,
-            "deadline_hit": n_seen < n_images,
-            "harvest_s": round(harvest_s, 1),
-            "harvest_img_per_s": round(float(harvest_rate), 2),
-            "rate_to_2048_img_per_s": PROGRESS.get("rate_to_2048_img_per_s"),
-            "chip_side_forward_img_per_s": chip_side_rate,
-            "chip_ab_source": ab.get("chip_ab_source"),
-            "v5e8_projected_10k_wall_s": v5e8_s,
-            "text_embed_s": round(text_s, 2),
-            "score_all_39_layers_s": round(score_s, 2),
-            "total_dissection_s": round(total_s, 1),
-            "compile_s": round(compile_s, 1),
-            "score_compile_s": round(score_compile_s, 1),
-            "setup_ledger": ledger,
-            "elapsed_s": round(elapsed_total, 1),
-            "batch_timing": summarize_timing(timing),
-            "image_size": [h, w],
-            "batch_size": batch_size,
-            "layers": len(layers),
-            "units": int(sum(widths)),
-            "concepts": n_concepts,
-        },
-    }
-    _emit_final(result)
+    _emit_final(build_result(ab))
 
 
-if __name__ == "__main__":
+def run_main():
+    """main() wrapped so a crash still publishes: stdout must ALWAYS carry one JSON."""
     try:
         main()
-    except BaseException as e:  # noqa: BLE001 — stdout must ALWAYS carry one JSON
+    except BaseException as e:  # noqa: BLE001
         # e.g. the runtime swallows a failed backend init at interpreter startup
         # and jax.devices() then raises in get_dissector: without this, a crash
         # publishes nothing (the watchdogs only cover deadline/stall, not a fast
@@ -829,6 +881,13 @@ if __name__ == "__main__":
         import traceback
 
         traceback.print_exc(file=sys.stderr)
+        pending = PROGRESS.get("pending_result")
+        if pending is not None:
+            # the harvest finished and a complete record was staged: a crash in a
+            # post-harvest decoration stage must not discard the measurement
+            pending["detail"]["post_harvest_error"] = f"{type(e).__name__}: {e}"[:400]
+            _emit_final(pending)
+            raise SystemExit(4)
         rate = float(PROGRESS.get("cum_rate_img_per_s", 0.0))
         _emit_final({
             "metric": "dissect_images_per_sec_per_chip",
@@ -842,3 +901,7 @@ if __name__ == "__main__":
                                "observed before the crash, 0.0 if none"},
         })
         raise SystemExit(4)
+
+
+if __name__ == "__main__":
+    run_main()

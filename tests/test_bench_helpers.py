@@ -1,5 +1,12 @@
 """Unit tests for bench.py's publish-side helpers (no TPU, no harvest)."""
+import json
+import os
+import subprocess
+import sys
+
 import bench
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
 
 def test_merge_chip_ab_full_fresh_wins():
@@ -36,6 +43,111 @@ def test_merge_chip_ab_partial_fresh_empty_cache():
     out = bench._merge_chip_ab(fresh, {})
     assert "chip_side_forward_img_per_s" not in out
     assert out["chip_ab_source"] == "measured_this_run"
+
+
+def test_watchdog_prefers_staged_pending_result():
+    # a wedge in the post-harvest chip-A/B stage must publish the COMPLETE staged
+    # result (flagged), never the skeleton fallback that drops the ledger/anchor
+    script = """
+import bench, sys, time
+bench.PROGRESS["pending_result"] = {
+    "metric": "dissect_images_per_sec_per_chip", "value": 49.46,
+    "unit": "img/s/chip", "vs_baseline": 11.87,
+    "detail": {"rate_to_2048_img_per_s": 54.72, "setup_ledger": {"pool_s": 1.0}}}
+bench.PROGRESS["stage"] = "chip_ab"
+bench._start_watchdog(time.monotonic() - bench.T_PROC + 6.0)
+time.sleep(30)  # simulated GIL-free wedge: the watchdog must fire and _exit(3)
+"""
+    r = subprocess.run([sys.executable, "-c", script], cwd=REPO,
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 3
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["value"] == 49.46
+    assert out["detail"]["post_harvest_timeout"] is True
+    assert out["detail"]["stage_at_timeout"] == "chip_ab"
+    assert out["detail"]["rate_to_2048_img_per_s"] == 54.72  # nothing dropped
+
+
+def test_crash_handler_prefers_staged_pending_result():
+    script = """
+import bench
+def boom():
+    bench.PROGRESS["pending_result"] = {
+        "metric": "dissect_images_per_sec_per_chip", "value": 42.21,
+        "unit": "img/s/chip", "vs_baseline": 10.13, "detail": {}}
+    raise RuntimeError("decoration stage crashed")
+bench.main = boom
+bench.run_main()
+"""
+    r = subprocess.run([sys.executable, "-c", script], cwd=REPO,
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 4
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["value"] == 42.21
+    assert "decoration stage crashed" in out["detail"]["post_harvest_error"]
+
+
+def test_crash_handler_skeleton_without_pending():
+    script = """
+import bench
+def boom():
+    raise RuntimeError("early crash")
+bench.main = boom
+bench.run_main()
+"""
+    r = subprocess.run([sys.executable, "-c", script], cwd=REPO,
+                       capture_output=True, text=True, timeout=60)
+    assert r.returncode == 4
+    out = json.loads(r.stdout.strip().splitlines()[-1])
+    assert out["value"] == 0.0
+    assert "early crash" in out["detail"]["error"]
+
+
+def test_process_watchdog_helper_prefers_pending_result(tmp_path):
+    # the subprocess (GIL-independent) watchdog reads the status snapshot: a staged
+    # pending_result must be published verbatim with the process_watchdog flag
+    status = tmp_path / "status.json"
+    status.write_text(json.dumps({
+        "stage": "chip_ab", "n_images": 10000, "cum_rate_img_per_s": 49.5,
+        "pending_result": {"metric": "dissect_images_per_sec_per_chip",
+                           "value": 49.46, "unit": "img/s/chip",
+                           "vs_baseline": 11.87, "detail": {}}}))
+    sentinel = tmp_path / "never.printed"
+    victim = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(120)"])
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", bench._PROC_WATCHDOG_HELPER, "0.1",
+             str(sentinel), str(status), str(victim.pid), "4.17"],
+            capture_output=True, text=True, timeout=60)
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["value"] == 49.46
+        assert out["detail"]["process_watchdog"] is True
+        assert out["detail"]["post_harvest_timeout"] is True
+        assert out["detail"]["stage_at_timeout"] == "chip_ab"
+        assert victim.wait(timeout=30) != 0  # helper SIGKILLs the wedged parent
+    finally:
+        if victim.poll() is None:
+            victim.kill()
+
+
+def test_process_watchdog_helper_skeleton_without_pending(tmp_path):
+    status = tmp_path / "status.json"
+    status.write_text(json.dumps({"stage": "harvest", "n_images": 896,
+                                  "cum_rate_img_per_s": 16.22}))
+    sentinel = tmp_path / "never.printed"
+    victim = subprocess.Popen([sys.executable, "-c", "import time; time.sleep(120)"])
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c", bench._PROC_WATCHDOG_HELPER, "0.1",
+             str(sentinel), str(status), str(victim.pid), "4.17"],
+            capture_output=True, text=True, timeout=60)
+        out = json.loads(r.stdout.strip().splitlines()[-1])
+        assert out["value"] == 16.22
+        assert out["detail"]["process_watchdog"] is True
+        assert out["detail"]["n_images_measured"] == 896
+    finally:
+        if victim.poll() is None:
+            victim.kill()
 
 
 def test_native_so_symbol_check(tmp_path):
