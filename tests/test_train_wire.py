@@ -161,3 +161,42 @@ def test_pretrain_step_u8_wire(tmp_path):
                          tensorboard_path=str(tmp_path / "tb"))
     result = pretrain(cfg, ds, log=lambda *_: None)
     assert np.isfinite(result["last_loss"])
+
+
+def test_load_for_wire_matrix(synth_pngs):
+    """Pin the shared (train x wire) load matrix: both dataset loaders delegate
+    to load_for_wire, so its four branches ARE the training input contract."""
+    import os
+
+    df, root = synth_pngs
+    path = os.path.join(root, df.iloc[0]["image_path"])
+    mean, std = 0.3089279, 0.25053555
+    size = (16, 12)
+
+    # eval/u8: uint8-resized load (the reference's pre-normalize eval pipeline)
+    e_u8 = T.load_for_wire(path, size, mean, std, train=False, wire="u8",
+                           rng=np.random.default_rng(0))
+    assert e_u8.dtype == np.uint8 and e_u8.shape == (16, 12, 1)
+    np.testing.assert_array_equal(e_u8, T.load_image_u8_resized(path, size))
+
+    # eval/f32: the fused resize+normalize loader (native cv2-style bilinear when
+    # built, PIL fallback otherwise — interpolation-level parity is pinned by
+    # test_native.py; here we pin the branch ROUTING)
+    e_f32 = T.load_for_wire(path, size, mean, std, train=False, wire="f32",
+                            rng=np.random.default_rng(0))
+    assert e_f32.dtype == np.float32 and e_f32.shape == (16, 12, 1)
+    ref = T.gray_resize_normalize(T.load_image(path, grayscale=True), size,
+                                  mean, std)
+    np.testing.assert_array_equal(e_f32, ref)
+
+    # train/u8 vs train/f32: SAME augmentation stream (identical rng seed), so
+    # the u8 wire is exactly the f32 image quantized to the 1/255 grid
+    t_u8 = T.load_for_wire(path, size, mean, std, train=True, wire="u8",
+                           rng=np.random.default_rng(7))
+    t_f32 = T.load_for_wire(path, size, mean, std, train=True, wire="f32",
+                            rng=np.random.default_rng(7))
+    assert t_u8.dtype == np.uint8 and t_f32.dtype == np.float32
+    aug = T.augment_train(T.resize(T.load_image(path, grayscale=True), size),
+                          np.random.default_rng(7))
+    np.testing.assert_array_equal(t_u8, T.to_u8(aug))
+    np.testing.assert_allclose(t_f32, T.minmax_meanstd(aug, mean, std), atol=1e-6)
